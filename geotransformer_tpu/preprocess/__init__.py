@@ -1,0 +1,13 @@
+from geotransformer_tpu.preprocess.voxel import grid_subsample, grid_subsample_single
+from geotransformer_tpu.preprocess.neighbors import radius_search
+from geotransformer_tpu.preprocess.pyramid import (
+    build_pyramid,
+    pad_registration_batch,
+    caps_for_pyramid,
+    round_up,
+    PAD_COORD,
+)
+from geotransformer_tpu.preprocess.calibrate import (
+    calibrate_neighbor_limits,
+    calibrate_stage_caps,
+)

@@ -1,0 +1,85 @@
+r"""Data-driven static-shape calibration.
+
+Generalizes the reference neighbor-limit calibration
+(`/root/reference/geotransformer/utils/data.py:192-217`) — which picks the
+neighbor capacity covering `keep_ratio` of the empirical neighbor-count
+histogram — to also calibrate per-stage point capacities, which the TPU
+pipeline needs for padding buckets.
+"""
+
+import numpy as np
+
+from geotransformer_tpu.preprocess.pyramid import build_pyramid, round_up
+
+
+def calibrate_neighbor_limits(
+    sample_iter,
+    num_stages,
+    voxel_size,
+    search_radius,
+    keep_ratio=0.8,
+    sample_threshold=2000,
+):
+    """Histogram neighbor counts over dataset samples; pick per-stage limits.
+
+    Args:
+        sample_iter: iterable yielding dicts with 'ref_points', 'src_points'
+            (numpy (N,3)) — same fields the datasets emit.
+        num_stages / voxel_size / search_radius: pyramid parameters.
+        keep_ratio: quantile of neighborhoods fully covered by the limit.
+        sample_threshold: stop once every stage has this many samples.
+
+    Returns:
+        list of per-stage neighbor limits (ints).
+    """
+    hist_n = int(np.ceil(4 / 3 * np.pi * (search_radius / voxel_size + 1) ** 3))
+    neighbor_hists = np.zeros((num_stages, hist_n), dtype=np.int64)
+    max_limits = [hist_n] * num_stages
+
+    for sample in sample_iter:
+        points = np.concatenate([sample["ref_points"], sample["src_points"]], axis=0)
+        lengths = np.asarray([len(sample["ref_points"]), len(sample["src_points"])])
+        pyramid = build_pyramid(points, lengths, num_stages, voxel_size, search_radius, max_limits)
+        counts = [
+            np.sum(neighbors < neighbors.shape[0], axis=1)
+            for neighbors in pyramid["neighbors"]
+        ]
+        hists = [np.bincount(c, minlength=hist_n)[:hist_n] for c in counts]
+        neighbor_hists += np.vstack(hists)
+        if np.min(np.sum(neighbor_hists, axis=1)) > sample_threshold:
+            break
+
+    cum_sum = np.cumsum(neighbor_hists.T, axis=0)
+    limits = np.sum(cum_sum < (keep_ratio * cum_sum[hist_n - 1, :]), axis=0)
+    return [int(x) for x in limits]
+
+
+def calibrate_stage_caps(
+    sample_iter,
+    num_stages,
+    voxel_size,
+    search_radius,
+    neighbor_limits,
+    num_samples=64,
+    quantile=1.0,
+    multiple=256,
+):
+    """Measure per-stage cloud sizes over samples; pick padded capacities.
+
+    Returns a list of per-stage per-cloud capacities (ints, multiples of
+    `multiple`) covering the `quantile` of observed sizes.
+    """
+    sizes = [[] for _ in range(num_stages)]
+    for n, sample in enumerate(sample_iter):
+        if n >= num_samples:
+            break
+        points = np.concatenate([sample["ref_points"], sample["src_points"]], axis=0)
+        lengths = np.asarray([len(sample["ref_points"]), len(sample["src_points"])])
+        pyramid = build_pyramid(points, lengths, num_stages, voxel_size, search_radius, neighbor_limits)
+        for i, stage_lengths in enumerate(pyramid["lengths"]):
+            sizes[i].append(int(np.max(stage_lengths)))
+    caps = []
+    for stage_sizes in sizes:
+        target = float(np.quantile(np.asarray(stage_sizes), quantile))
+        caps.append(max(round_up(target, multiple), multiple))
+    return caps

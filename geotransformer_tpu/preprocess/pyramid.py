@@ -1,0 +1,177 @@
+r"""Multi-stage pyramid precompute and fixed-capacity padding.
+
+Host-side equivalent of the reference collate precompute
+(`/root/reference/geotransformer/utils/data.py:13-77`), then a TPU-specific
+step the reference does not need: re-laying the stacked variable-length
+arrays into **fixed-capacity padded buffers** so the jitted model sees static
+shapes.
+
+Padded layout convention (per stage, per-cloud capacity ``C``):
+  * rows [0, C)      : ref cloud (first ``ref_len`` real, rest padding)
+  * rows [C, 2C)     : src cloud (first ``src_len`` real, rest padding)
+  * sentinel index   : ``2C`` (gathers append a shadow row there)
+  * padded point coordinates are set to a large constant so they can never
+    contaminate distance computations that forget a mask.
+
+All index tables are remapped from the reference's dense stacked frame
+([0, ref_len) ++ [ref_len, ref_len+src_len), sentinel = total) into this
+padded frame.
+"""
+
+import numpy as np
+
+from geotransformer_tpu.preprocess.voxel import grid_subsample
+from geotransformer_tpu.preprocess.neighbors import radius_search
+
+PAD_COORD = 1.0e6
+
+
+def build_pyramid(points, lengths, num_stages, voxel_size, radius, neighbor_limits):
+    """Stack-mode multi-stage precompute (unpadded, mirrors the reference).
+
+    Args:
+        points: (N, 3) stacked ref+src points (stage-0 resolution).
+        lengths: (B,) stacked cloud sizes (for registration, B=2: [ref, src]).
+        num_stages: number of pyramid stages.
+        voxel_size: stage-0 voxel size; doubles per stage.
+        radius: stage-0 search radius; doubles per stage.
+        neighbor_limits: per-stage neighbor capacity K_i.
+
+    Returns:
+        dict with per-stage lists: points, lengths, neighbors, subsampling,
+        upsampling (same structure as the reference data_dict).
+    """
+    assert num_stages == len(neighbor_limits)
+    points = np.asarray(points, dtype=np.float32)
+    lengths = np.asarray(lengths, dtype=np.int64)
+
+    points_list, lengths_list = [], []
+    for i in range(num_stages):
+        if i > 0:
+            points, lengths = grid_subsample(points, lengths, voxel_size=voxel_size)
+        points_list.append(points)
+        lengths_list.append(lengths)
+        voxel_size *= 2
+
+    neighbors_list, subsampling_list, upsampling_list = [], [], []
+    for i in range(num_stages):
+        cur_points, cur_lengths = points_list[i], lengths_list[i]
+        neighbors_list.append(
+            radius_search(cur_points, cur_points, cur_lengths, cur_lengths, radius, neighbor_limits[i])
+        )
+        if i < num_stages - 1:
+            sub_points, sub_lengths = points_list[i + 1], lengths_list[i + 1]
+            subsampling_list.append(
+                radius_search(sub_points, cur_points, sub_lengths, cur_lengths, radius, neighbor_limits[i])
+            )
+            upsampling_list.append(
+                radius_search(cur_points, sub_points, cur_lengths, sub_lengths, radius * 2, neighbor_limits[i + 1])
+            )
+        radius *= 2
+
+    return {
+        "points": points_list,
+        "lengths": lengths_list,
+        "neighbors": neighbors_list,
+        "subsampling": subsampling_list,
+        "upsampling": upsampling_list,
+    }
+
+
+def _remap_indices(indices, ref_len, src_len, cap):
+    """Remap stacked-frame indices to the padded frame (sentinel -> 2*cap)."""
+    total = ref_len + src_len
+    out = np.where(
+        indices >= total,
+        2 * cap,
+        np.where(indices >= ref_len, indices + (cap - ref_len), indices),
+    )
+    return out.astype(np.int32)
+
+
+def _pad_rows(array, ref_len, src_len, cap, fill):
+    """Re-lay stacked rows [ref ++ src] into [ref pad to cap ++ src pad to cap]."""
+    out_shape = (2 * cap,) + array.shape[1:]
+    out = np.full(out_shape, fill, dtype=array.dtype)
+    out[:ref_len] = array[:ref_len]
+    out[cap : cap + src_len] = array[ref_len : ref_len + src_len]
+    return out
+
+
+def pad_registration_batch(pyramid, feats, transform, stage_caps):
+    """Convert an unpadded pyramid into a fixed-capacity PairBatch pytree.
+
+    Args:
+        pyramid: dict from :func:`build_pyramid` with B=2 clouds [ref, src].
+        feats: (N0, C_in) stacked stage-0 features.
+        transform: (4, 4) ground-truth transform (identity if unknown).
+        stage_caps: per-stage per-cloud capacity C_i (so stage arrays have
+            2*C_i rows).
+
+    Returns:
+        dict of numpy arrays (static shapes):
+          points[i]      (2*C_i, 3) float32
+          masks[i]       (2*C_i,)  bool
+          lengths[i]     (2,)      int32  [ref_len, src_len]
+          neighbors[i]   (2*C_i, K_i) int32, sentinel 2*C_i
+          subsampling[i] (2*C_{i+1}, K_i) int32, sentinel 2*C_i
+          upsampling[i]  (2*C_i, K_{i+1}) int32, sentinel 2*C_{i+1}
+          features       (2*C_0, C_in) float32
+          transform      (4, 4) float32
+    """
+    num_stages = len(pyramid["points"])
+    assert len(stage_caps) == num_stages
+
+    out = {"points": [], "masks": [], "lengths": [], "neighbors": [], "subsampling": [], "upsampling": []}
+    ref_lens = [int(l[0]) for l in pyramid["lengths"]]
+    src_lens = [int(l[1]) for l in pyramid["lengths"]]
+
+    for i in range(num_stages):
+        cap = int(stage_caps[i])
+        ref_len, src_len = ref_lens[i], src_lens[i]
+        if ref_len > cap or src_len > cap:
+            raise ValueError(
+                f"stage {i}: cloud sizes ({ref_len}, {src_len}) exceed capacity {cap}"
+            )
+        pts = _pad_rows(pyramid["points"][i].astype(np.float32), ref_len, src_len, cap, PAD_COORD)
+        mask = np.zeros(2 * cap, dtype=bool)
+        mask[:ref_len] = True
+        mask[cap : cap + src_len] = True
+        nbrs = _remap_indices(pyramid["neighbors"][i], ref_len, src_len, cap)
+        nbrs = _pad_rows(nbrs, ref_len, src_len, cap, np.int32(2 * cap))
+        out["points"].append(pts)
+        out["masks"].append(mask)
+        out["lengths"].append(np.asarray([ref_len, src_len], dtype=np.int32))
+        out["neighbors"].append(nbrs)
+
+    for i in range(num_stages - 1):
+        cap_cur, cap_sub = int(stage_caps[i]), int(stage_caps[i + 1])
+        sub = _remap_indices(pyramid["subsampling"][i], ref_lens[i], src_lens[i], cap_cur)
+        sub = _pad_rows(sub, ref_lens[i + 1], src_lens[i + 1], cap_sub, np.int32(2 * cap_cur))
+        out["subsampling"].append(sub)
+        up = _remap_indices(pyramid["upsampling"][i], ref_lens[i + 1], src_lens[i + 1], cap_sub)
+        up = _pad_rows(up, ref_lens[i], src_lens[i], cap_cur, np.int32(2 * cap_sub))
+        out["upsampling"].append(up)
+
+    cap0 = int(stage_caps[0])
+    out["features"] = _pad_rows(
+        np.asarray(feats, dtype=np.float32), ref_lens[0], src_lens[0], cap0, 0.0
+    )
+    out["transform"] = np.asarray(transform, dtype=np.float32)
+    return out
+
+
+def round_up(value, multiple):
+    return int(-(-value // multiple) * multiple)
+
+
+def caps_for_pyramid(pyramid, multiple=128, margin=1.0):
+    """Pick per-stage per-cloud capacities covering this pyramid.
+
+    Rounds max(ref_len, src_len) * margin up to `multiple` (TPU lane-friendly).
+    """
+    caps = []
+    for lengths in pyramid["lengths"]:
+        biggest = int(np.max(lengths)) * margin
+        caps.append(max(round_up(biggest, multiple), multiple))
+    return caps
