@@ -1,0 +1,89 @@
+#!/usr/bin/env python
+r"""Benchmark: full registration model throughput on the bundled demo pair.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+
+Metric: steady-state jitted model forwards per second on one TPU chip for
+the real 3DMatch demo pair (19k/16k points, full pipeline: KPConv FPN ->
+geometric transformer -> superpoint matching -> 100-iter Sinkhorn -> LGR
+with on-device SVD).
+
+Baseline: the reference publishes no wall-clock numbers
+(`/root/reference/README.md` has only quality metrics). The GeoTransformer
+paper (arXiv:2202.06688) reports ~66ms model time + ~6ms pose time per pair
+on an RTX 3090 for 3DMatch; we take ~14 pairs/s as the CUDA-GPU-class
+baseline (A100-class hardware, same order). vs_baseline = ours / 14.
+"""
+
+import json
+import os.path as osp
+import sys
+import time
+
+sys.path.insert(0, osp.dirname(osp.abspath(__file__)))
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+BASELINE_PAIRS_PER_SEC = 14.0
+
+
+def main():
+    from geotransformer_tpu.configs import make_3dmatch_config
+    from geotransformer_tpu.preprocess import build_pyramid, pad_registration_batch, caps_for_pyramid
+    from geotransformer_tpu.models import create_model
+
+    ref_points = np.load("/root/reference/data/demo/ref.npy").astype(np.float32)
+    src_points = np.load("/root/reference/data/demo/src.npy").astype(np.float32)
+    points = np.concatenate([ref_points, src_points], 0)
+    lengths = np.asarray([len(ref_points), len(src_points)])
+
+    cfg = make_3dmatch_config()
+    pyramid = build_pyramid(
+        points, lengths, cfg.backbone.num_stages, cfg.backbone.init_voxel_size,
+        cfg.backbone.init_radius, list(cfg.caps.neighbor_limits),
+    )
+    caps = tuple(caps_for_pyramid(pyramid, multiple=256))
+    cfg = cfg.with_caps(stage_caps=caps)
+    feats = np.ones((points.shape[0], cfg.backbone.input_dim), np.float32)
+    batch = pad_registration_batch(pyramid, feats, np.eye(4, dtype=np.float32), caps)
+    batch = jax.tree.map(jnp.asarray, batch)
+
+    model = create_model(cfg)
+    variables = jax.jit(lambda r, b: model.init(r, b, training=False, with_gt=False))(
+        jax.random.PRNGKey(cfg.seed), batch
+    )
+
+    @jax.jit
+    def forward(variables, batch):
+        return model.apply(variables, batch, training=False, with_gt=False)
+
+    out = jax.block_until_ready(forward(variables, batch))  # compile
+    assert np.isfinite(np.asarray(out["estimated_transform"])).all()
+
+    # warm-up + timed loop
+    for _ in range(3):
+        jax.block_until_ready(forward(variables, batch))
+    iters = 50
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = forward(variables, batch)
+    jax.block_until_ready(out)
+    dt = (time.perf_counter() - t0) / iters
+    pairs_per_sec = 1.0 / dt
+
+    print(json.dumps({
+        "metric": "3dmatch_demo_pair_model_throughput",
+        "value": round(pairs_per_sec, 2),
+        "unit": "pairs/s",
+        "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

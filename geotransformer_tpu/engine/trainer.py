@@ -1,0 +1,176 @@
+r"""Training engine.
+
+TPU equivalent of the reference trainers
+(`/root/reference/geotransformer/engine/epoch_based_trainer.py:16-181`,
+`iter_based_trainer.py:17-200`, shared base `base_trainer.py:32-255`):
+epoch- or iteration-based loops over a jitted SPMD train step, with
+validation, rolling + milestone checkpoints (orbax), summary meters, and
+prepare/process timing. DDP bookkeeping disappears — the mesh train step
+already reduces gradients and metrics.
+"""
+
+import os
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from geotransformer_tpu.engine.checkpoint import CheckpointManager
+from geotransformer_tpu.engine.logger import create_logger
+from geotransformer_tpu.engine.meters import SummaryBoard
+from geotransformer_tpu.engine.timer import Timer
+from geotransformer_tpu.parallel.train import (
+    init_train_state,
+    make_optimizer,
+    make_train_step,
+    make_eval_step,
+    stack_batches,
+)
+from geotransformer_tpu.parallel.mesh import make_mesh, shard_batch
+
+
+def _device_batch(group, mesh):
+    group = [{k: v for k, v in b.items() if k != "meta"} for b in group]
+    stacked = stack_batches([jax.tree.map(jnp.asarray, b) for b in group])
+    if mesh is not None:
+        stacked = shard_batch(mesh, stacked)
+    return stacked
+
+
+class Trainer:
+    """Epoch/iteration trainer over a data-parallel mesh."""
+
+    def __init__(
+        self,
+        cfg,
+        model,
+        train_loader,
+        val_loader=None,
+        output_dir="output",
+        use_mesh=True,
+        log_steps=10,
+        max_checkpoints=None,
+    ):
+        self.cfg = cfg
+        self.model = model
+        self.train_loader = train_loader
+        self.val_loader = val_loader
+        self.output_dir = output_dir
+        os.makedirs(output_dir, exist_ok=True)
+        self.logger = create_logger(
+            log_file=os.path.join(output_dir, "train.log"),
+            process_index=jax.process_index(),
+        )
+        self.log_steps = log_steps
+
+        n_dev = train_loader.batch_size
+        self.mesh = make_mesh(num_devices=n_dev) if use_mesh and n_dev > 1 else None
+        world = n_dev if self.mesh is not None else 1
+        steps_per_epoch = max(len(train_loader), 1)
+        self.tx = make_optimizer(cfg, steps_per_epoch, world_size=world)
+        self.train_step = make_train_step(model, cfg, self.tx, mesh=self.mesh)
+        self.eval_step = make_eval_step(model, cfg, mesh=self.mesh)
+        self.checkpoints = CheckpointManager(
+            os.path.join(output_dir, "checkpoints"), max_to_keep=max_checkpoints
+        )
+        self.state = None
+        self.epoch = 0
+        self.rng = jax.random.PRNGKey(cfg.seed + jax.process_index())
+
+    def initialize(self, example_batch):
+        example = {k: v for k, v in example_batch.items() if k != "meta"}
+        example = jax.tree.map(jnp.asarray, example)
+        self.state = init_train_state(
+            self.model, self.cfg, jax.random.PRNGKey(self.cfg.seed), example, self.tx
+        )
+        n_params = sum(int(np.prod(np.shape(p))) for p in jax.tree.leaves(self.state.params))
+        self.logger.info(f"initialized model: {n_params / 1e6:.2f}M params")
+
+    def resume(self):
+        try:
+            self.state, step = self.checkpoints.restore(self.state)
+            self.epoch = int(step)
+            self.logger.info(f"resumed from checkpoint at epoch {self.epoch}")
+            return True
+        except FileNotFoundError:
+            return False
+
+    def train_epoch(self):
+        summary = SummaryBoard(last_n=self.log_steps)
+        timer = Timer()
+        self.train_loader.set_epoch(self.epoch)
+        timer.tic_prepare()
+        for it, group in enumerate(self.train_loader):
+            batch = _device_batch(group, self.mesh)
+            timer.toc_prepare()
+            timer.tic_process()
+            self.rng, step_rng = jax.random.split(self.rng)
+            self.state, aux = self.train_step(self.state, batch, step_rng)
+            jax.block_until_ready(aux)
+            timer.toc_process()
+            summary.update_from_dict({k: float(v) for k, v in aux.items()})
+            if (it + 1) % self.log_steps == 0:
+                self.logger.info(
+                    f"epoch {self.epoch} it {it + 1}/{len(self.train_loader)}: "
+                    f"{summary.tostring()} | prep {timer.get_prepare_time():.3f}s "
+                    f"proc {timer.get_process_time():.3f}s"
+                )
+            timer.tic_prepare()
+        return summary.summary()
+
+    def validate(self):
+        if self.val_loader is None:
+            return {}
+        summary = SummaryBoard()
+        for group in self.val_loader:
+            batch = _device_batch(group, self.mesh)
+            metrics = self.eval_step(self.state, batch)
+            summary.update_from_dict({k: float(v) for k, v in metrics.items()})
+        result = summary.summary()
+        self.logger.info(f"validation epoch {self.epoch}: {summary.tostring()}")
+        return result
+
+    def run(self):
+        """Epoch-based training (3DMatch / KITTI style)."""
+        assert self.state is not None, "call initialize(example_batch) first"
+        self.resume()
+        while self.epoch < self.cfg.optim.max_epoch:
+            self.epoch += 1
+            t0 = time.time()
+            train_metrics = self.train_epoch()
+            self.logger.info(
+                f"epoch {self.epoch} done in {time.time() - t0:.1f}s: "
+                + ", ".join(f"{k}={v:.4f}" for k, v in train_metrics.items())
+            )
+            if jax.process_index() == 0:
+                self.checkpoints.save(self.epoch, self.state, metadata={"epoch": self.epoch})
+            self.validate()
+        return self.state
+
+    def run_iterations(self, snapshot_steps=None):
+        """Iteration-based training (ModelNet style, reference iter_based_trainer.py)."""
+        assert self.state is not None, "call initialize(example_batch) first"
+        self.resume()
+        snapshot_steps = snapshot_steps or self.cfg.optim.snapshot_steps or 10000
+        max_iter = self.cfg.optim.max_iteration
+        it = int(self.state.step)
+        summary = SummaryBoard(last_n=self.log_steps)
+        while it < max_iter:
+            self.train_loader.set_epoch(self.epoch)
+            self.epoch += 1
+            for group in self.train_loader:
+                batch = _device_batch(group, self.mesh)
+                self.rng, step_rng = jax.random.split(self.rng)
+                self.state, aux = self.train_step(self.state, batch, step_rng)
+                it += 1
+                summary.update_from_dict({k: float(v) for k, v in aux.items()})
+                if it % self.log_steps == 0:
+                    self.logger.info(f"iter {it}/{max_iter}: {summary.tostring()}")
+                if it % snapshot_steps == 0:
+                    if jax.process_index() == 0:
+                        self.checkpoints.save(it, self.state, metadata={"iteration": it})
+                    self.validate()
+                if it >= max_iter:
+                    break
+        return self.state

@@ -1,0 +1,83 @@
+r"""Learnable log-domain Sinkhorn optimal transport.
+
+SuperGlue-style OT with a learnable dustbin score, equivalent to the
+reference `LearnableLogOptimalTransport`
+(`/root/reference/geotransformer/modules/sinkhorn/learnable_sinkhorn.py:5-66`)
+but with the 100-iteration python loop replaced by ``lax.scan`` so XLA
+compiles one fused loop body.
+"""
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+_INF = 1e12
+
+
+class LearnableLogOptimalTransport(nn.Module):
+    num_iterations: int
+
+    @nn.compact
+    def __call__(self, scores, row_masks=None, col_masks=None):
+        """Run masked Sinkhorn with dustbin row/column.
+
+        Args:
+            scores: (B, M, N) similarity scores.
+            row_masks: (B, M) bool (True = real row).
+            col_masks: (B, N) bool.
+
+        Returns:
+            (B, M+1, N+1) log transport plan.
+        """
+        alpha = self.param("alpha", nn.initializers.ones, ())
+        batch_size, num_row, num_col = scores.shape
+        if row_masks is None:
+            row_masks = jnp.ones((batch_size, num_row), dtype=bool)
+        if col_masks is None:
+            col_masks = jnp.ones((batch_size, num_col), dtype=bool)
+
+        padded_row_masks = jnp.concatenate(
+            [~row_masks, jnp.zeros((batch_size, 1), dtype=bool)], axis=1
+        )  # True = masked-out
+        padded_col_masks = jnp.concatenate(
+            [~col_masks, jnp.zeros((batch_size, 1), dtype=bool)], axis=1
+        )
+        padded_score_masks = jnp.logical_or(
+            padded_row_masks[:, :, None], padded_col_masks[:, None, :]
+        )
+
+        padded_col = jnp.broadcast_to(alpha, (batch_size, num_row, 1)).astype(scores.dtype)
+        padded_row = jnp.broadcast_to(alpha, (batch_size, 1, num_col + 1)).astype(scores.dtype)
+        padded_scores = jnp.concatenate(
+            [jnp.concatenate([scores, padded_col], axis=-1), padded_row], axis=1
+        )
+        padded_scores = jnp.where(padded_score_masks, -_INF, padded_scores)
+
+        num_valid_row = jnp.sum(row_masks.astype(scores.dtype), axis=1)
+        num_valid_col = jnp.sum(col_masks.astype(scores.dtype), axis=1)
+        norm = -jnp.log(num_valid_row + num_valid_col)  # (B,)
+
+        log_mu = jnp.concatenate(
+            [jnp.broadcast_to(norm[:, None], (batch_size, num_row)),
+             (jnp.log(num_valid_col) + norm)[:, None]],
+            axis=1,
+        )
+        log_mu = jnp.where(padded_row_masks, -_INF, log_mu)
+        log_nu = jnp.concatenate(
+            [jnp.broadcast_to(norm[:, None], (batch_size, num_col)),
+             (jnp.log(num_valid_row) + norm)[:, None]],
+            axis=1,
+        )
+        log_nu = jnp.where(padded_col_masks, -_INF, log_nu)
+
+        def body(carry, _):
+            u, v = carry
+            u = log_mu - jax.nn.logsumexp(padded_scores + v[:, None, :], axis=2)
+            v = log_nu - jax.nn.logsumexp(padded_scores + u[:, :, None], axis=1)
+            return (u, v), None
+
+        init = (jnp.zeros_like(log_mu), jnp.zeros_like(log_nu))
+        (u, v), _ = jax.lax.scan(body, init, None, length=self.num_iterations)
+
+        outputs = padded_scores + u[:, :, None] + v[:, None, :]
+        return outputs - norm[:, None, None]

@@ -1,0 +1,300 @@
+r"""Geometric self/cross attention transformer.
+
+TPU rebuild of the reference transformer stack:
+  * GeometricStructureEmbedding
+    (`/root/reference/geotransformer/modules/geotransformer/geotransformer.py:9-72`)
+  * RPE multi-head attention with pair embedding bias
+    (`/root/reference/geotransformer/modules/transformer/rpe_transformer.py:18-72`)
+  * vanilla cross attention (`.../vanilla_transformer.py:15-70`)
+  * interleaved self/cross conditional stack
+    (`.../conditional_transformer.py:73-117`)
+
+All attention runs masked: padded tokens are excluded from keys via additive
+-inf and their query outputs are zeroed at the stack output. Softmax is fp32.
+"""
+
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import flax.linen as nn
+
+from geotransformer_tpu.models.norms import LayerNorm
+from geotransformer_tpu.ops.pairwise_distance import pairwise_distance
+from geotransformer_tpu.ops.embedding import sinusoidal_embedding
+
+
+class GeometricStructureEmbedding(nn.Module):
+    """Pairwise distance + k-NN triplet angle embedding for superpoints."""
+
+    hidden_dim: int
+    sigma_d: float
+    sigma_a: float
+    angle_k: int
+    reduction_a: str = "max"
+
+    def get_embedding_indices(self, points, masks=None):
+        """Distance indices (B, N, N) and angle indices (B, N, N, k).
+
+        Padded nodes (masks False) are excluded from the k-NN reference
+        vectors; their own rows/columns carry junk that downstream attention
+        masks out.
+        """
+        batch_size, num_point, _ = points.shape
+        dist_map = jnp.sqrt(pairwise_distance(points, points))  # (B, N, N)
+        d_indices = dist_map / self.sigma_d
+
+        k = self.angle_k
+        knn_dists = dist_map
+        if masks is not None:
+            knn_dists = jnp.where(masks[:, None, :], knn_dists, 1e12)
+        # k+1 smallest then drop self (column 0).
+        neg_top, knn_indices = jax.lax.top_k(-knn_dists, k + 1)
+        knn_indices = knn_indices[:, :, 1:]  # (B, N, k)
+        knn_points = jax.vmap(lambda pts, idx: pts[idx])(points, knn_indices)  # (B, N, k, 3)
+        ref_vectors = knn_points - points[:, :, None, :]  # (B, N, k, 3)
+        anc_vectors = points[:, None, :, :] - points[:, :, None, :]  # (B, N, N, 3)
+        ref_b = ref_vectors[:, :, None, :, :]  # (B, N, 1, k, 3)
+        anc_b = anc_vectors[:, :, :, None, :]  # (B, N, N, 1, 3)
+        sin_values = jnp.linalg.norm(jnp.cross(ref_b, anc_b), axis=-1)  # (B, N, N, k)
+        cos_values = jnp.sum(ref_b * anc_b, axis=-1)  # (B, N, N, k)
+        angles = jnp.arctan2(sin_values, cos_values)
+        factor_a = 180.0 / (self.sigma_a * jnp.pi)
+        a_indices = angles * factor_a
+        return d_indices, a_indices
+
+    @nn.compact
+    def __call__(self, points, masks=None):
+        d_indices, a_indices = self.get_embedding_indices(points, masks)
+        d_indices = jax.lax.stop_gradient(d_indices)
+        a_indices = jax.lax.stop_gradient(a_indices)
+
+        d_embeddings = sinusoidal_embedding(d_indices, self.hidden_dim)
+        d_embeddings = nn.Dense(self.hidden_dim, name="proj_d")(d_embeddings)
+
+        a_embeddings = sinusoidal_embedding(a_indices, self.hidden_dim)
+        a_embeddings = nn.Dense(self.hidden_dim, name="proj_a")(a_embeddings)
+        if self.reduction_a == "max":
+            a_embeddings = jnp.max(a_embeddings, axis=3)
+        elif self.reduction_a == "mean":
+            a_embeddings = jnp.mean(a_embeddings, axis=3)
+        else:
+            raise ValueError(f"Unsupported reduction mode: {self.reduction_a}")
+
+        return d_embeddings + a_embeddings
+
+
+def _split_heads(x, num_heads):
+    b, n, c = x.shape
+    return x.reshape(b, n, num_heads, c // num_heads).transpose(0, 2, 1, 3)
+
+
+def _merge_heads(x):
+    b, h, n, c = x.shape
+    return x.transpose(0, 2, 1, 3).reshape(b, n, h * c)
+
+
+def _masked_softmax(scores, key_masks):
+    """Softmax over the last axis with key masking; fully-masked rows -> 0."""
+    if key_masks is not None:
+        neg = jnp.asarray(jnp.finfo(scores.dtype).min, scores.dtype)
+        while key_masks.ndim < scores.ndim:
+            key_masks = key_masks[:, None]
+        scores = jnp.where(key_masks, scores, neg)
+    return jax.nn.softmax(scores, axis=-1)
+
+
+class MultiHeadAttention(nn.Module):
+    """Vanilla scaled dot-product attention (keys maskable)."""
+
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, input_q, input_k, input_v, key_masks=None):
+        d_head = self.d_model // self.num_heads
+        q = _split_heads(nn.Dense(self.d_model, name="proj_q")(input_q), self.num_heads)
+        k = _split_heads(nn.Dense(self.d_model, name="proj_k")(input_k), self.num_heads)
+        v = _split_heads(nn.Dense(self.d_model, name="proj_v")(input_v), self.num_heads)
+
+        scores = jnp.einsum("bhnc,bhmc->bhnm", q, k) / jnp.sqrt(jnp.asarray(d_head, q.dtype))
+        scores = _masked_softmax(scores, key_masks)
+        hidden = jnp.einsum("bhnm,bhmc->bhnc", scores, v)
+        return _merge_heads(hidden), scores
+
+
+class RPEMultiHeadAttention(nn.Module):
+    """Attention with pairwise geometric embedding bias: score += q . proj_p(e)."""
+
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, input_q, input_k, input_v, embed_qk, key_masks=None):
+        d_head = self.d_model // self.num_heads
+        q = _split_heads(nn.Dense(self.d_model, name="proj_q")(input_q), self.num_heads)
+        k = _split_heads(nn.Dense(self.d_model, name="proj_k")(input_k), self.num_heads)
+        v = _split_heads(nn.Dense(self.d_model, name="proj_v")(input_v), self.num_heads)
+        p = nn.Dense(self.d_model, name="proj_p")(embed_qk)  # (B, N, M, C)
+        b, n, m, _ = p.shape
+        p = p.reshape(b, n, m, self.num_heads, d_head)
+
+        scores_e = jnp.einsum("bhnc,bhmc->bhnm", q, k)
+        scores_p = jnp.einsum("bhnc,bnmhc->bhnm", q, p)
+        scores = (scores_e + scores_p) / jnp.sqrt(jnp.asarray(d_head, q.dtype))
+        scores = _masked_softmax(scores, key_masks)
+        hidden = jnp.einsum("bhnm,bhmc->bhnc", scores, v)
+        return _merge_heads(hidden), scores
+
+
+class AttentionOutput(nn.Module):
+    """Post-LN feed-forward: expand x2 -> act -> squeeze -> residual LN."""
+
+    d_model: int
+    activation_fn: str = "ReLU"
+
+    @nn.compact
+    def __call__(self, input_states):
+        act = {"ReLU": nn.relu, "LeakyReLU": lambda x: nn.leaky_relu(x, 0.01),
+               "GELU": nn.gelu, "SiLU": nn.silu}[self.activation_fn]
+        hidden = nn.Dense(self.d_model * 2, name="expand")(input_states)
+        hidden = act(hidden)
+        hidden = nn.Dense(self.d_model, name="squeeze")(hidden)
+        return LayerNorm(self.d_model, name="norm")(input_states + hidden)
+
+
+class AttentionLayer(nn.Module):
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, input_states, memory_states, memory_masks=None):
+        hidden, scores = MultiHeadAttention(
+            self.d_model, self.num_heads, name="attention"
+        )(input_states, memory_states, memory_states, key_masks=memory_masks)
+        hidden = nn.Dense(self.d_model, name="linear")(hidden)
+        out = LayerNorm(self.d_model, name="norm")(hidden + input_states)
+        return out, scores
+
+
+class RPEAttentionLayer(nn.Module):
+    d_model: int
+    num_heads: int
+
+    @nn.compact
+    def __call__(self, input_states, memory_states, position_states, memory_masks=None):
+        hidden, scores = RPEMultiHeadAttention(
+            self.d_model, self.num_heads, name="attention"
+        )(input_states, memory_states, memory_states, position_states, key_masks=memory_masks)
+        hidden = nn.Dense(self.d_model, name="linear")(hidden)
+        out = LayerNorm(self.d_model, name="norm")(hidden + input_states)
+        return out, scores
+
+
+class TransformerLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    activation_fn: str = "ReLU"
+
+    @nn.compact
+    def __call__(self, input_states, memory_states, memory_masks=None):
+        hidden, scores = AttentionLayer(self.d_model, self.num_heads, name="attention")(
+            input_states, memory_states, memory_masks=memory_masks
+        )
+        out = AttentionOutput(self.d_model, self.activation_fn, name="output")(hidden)
+        return out, scores
+
+
+class RPETransformerLayer(nn.Module):
+    d_model: int
+    num_heads: int
+    activation_fn: str = "ReLU"
+
+    @nn.compact
+    def __call__(self, input_states, memory_states, position_states, memory_masks=None):
+        hidden, scores = RPEAttentionLayer(self.d_model, self.num_heads, name="attention")(
+            input_states, memory_states, position_states, memory_masks=memory_masks
+        )
+        out = AttentionOutput(self.d_model, self.activation_fn, name="output")(hidden)
+        return out, scores
+
+
+class RPEConditionalTransformer(nn.Module):
+    """Interleaved geometric self-attention / vanilla cross-attention stack."""
+
+    blocks: Sequence[str]
+    d_model: int
+    num_heads: int
+    activation_fn: str = "ReLU"
+    parallel: bool = False
+
+    @nn.compact
+    def __call__(self, feats0, feats1, embeddings0, embeddings1, masks0=None, masks1=None):
+        for i, block in enumerate(self.blocks):
+            if block == "self":
+                layer = RPETransformerLayer(
+                    self.d_model, self.num_heads, self.activation_fn, name=f"layers_{i}"
+                )
+                feats0, _ = layer(feats0, feats0, embeddings0, memory_masks=masks0)
+                feats1, _ = layer(feats1, feats1, embeddings1, memory_masks=masks1)
+            elif block == "cross":
+                layer = TransformerLayer(
+                    self.d_model, self.num_heads, self.activation_fn, name=f"layers_{i}"
+                )
+                if self.parallel:
+                    new0, _ = layer(feats0, feats1, memory_masks=masks1)
+                    new1, _ = layer(feats1, feats0, memory_masks=masks0)
+                    feats0, feats1 = new0, new1
+                else:
+                    feats0, _ = layer(feats0, feats1, memory_masks=masks1)
+                    feats1, _ = layer(feats1, feats0, memory_masks=masks0)
+            else:
+                raise ValueError(f"Unsupported block type: {block}")
+        return feats0, feats1
+
+
+class GeometricTransformer(nn.Module):
+    """GSE + conditional transformer with in/out projections
+    (reference geotransformer.py:75-155)."""
+
+    input_dim: int
+    output_dim: int
+    hidden_dim: int
+    num_heads: int
+    blocks: Sequence[str]
+    sigma_d: float
+    sigma_a: float
+    angle_k: int
+    reduction_a: str = "max"
+    activation_fn: str = "ReLU"
+
+    @nn.compact
+    def __call__(self, ref_points, src_points, ref_feats, src_feats,
+                 ref_masks: Optional[jnp.ndarray] = None,
+                 src_masks: Optional[jnp.ndarray] = None):
+        embedding = GeometricStructureEmbedding(
+            self.hidden_dim, self.sigma_d, self.sigma_a, self.angle_k,
+            self.reduction_a, name="embedding",
+        )
+        ref_embeddings = embedding(ref_points, ref_masks)
+        src_embeddings = embedding(src_points, src_masks)
+
+        in_proj = nn.Dense(self.hidden_dim, name="in_proj")
+        ref_feats = in_proj(ref_feats)
+        src_feats = in_proj(src_feats)
+
+        ref_feats, src_feats = RPEConditionalTransformer(
+            tuple(self.blocks), self.hidden_dim, self.num_heads,
+            self.activation_fn, name="transformer",
+        )(ref_feats, src_feats, ref_embeddings, src_embeddings,
+          masks0=ref_masks, masks1=src_masks)
+
+        out_proj = nn.Dense(self.output_dim, name="out_proj")
+        ref_feats = out_proj(ref_feats)
+        src_feats = out_proj(src_feats)
+
+        if ref_masks is not None:
+            ref_feats = ref_feats * ref_masks[..., None].astype(ref_feats.dtype)
+        if src_masks is not None:
+            src_feats = src_feats * src_masks[..., None].astype(src_feats.dtype)
+        return ref_feats, src_feats

@@ -1,0 +1,184 @@
+r"""Data-parallel training step (shard_map over the device mesh).
+
+Replaces the reference's DDP machinery
+(`/root/reference/geotransformer/engine/base_trainer.py:179-234`): one
+jit-compiled SPMD program computes per-pair losses on each device, reduces
+gradients and metrics with ``pmean`` over the ``data`` axis of the ICI mesh,
+and applies a replicated optimizer update. The reference's lr x world_size
+scaling (`base_trainer.py:189-194`) is mirrored in :func:`make_optimizer`.
+"""
+
+from functools import partial
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from geotransformer_tpu.losses.overall import overall_loss
+from geotransformer_tpu.parallel.mesh import DATA_AXIS
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    constants: Any
+    opt_state: Any
+
+
+def make_lr_schedule(cfg, steps_per_epoch, world_size=1):
+    """StepLR(lr_decay per lr_decay_steps epochs) or warmup-cosine.
+
+    Mirrors `utils/torch.py:143-178` + `base_trainer.py:189-194` (lr scaled
+    by world size).
+    """
+    base_lr = cfg.optim.lr * world_size
+    if cfg.optim.warmup_steps > 0:
+        # ModelNet-style warmup + cosine (reference WarmUpCosineAnnealingFunction).
+        eta_init, eta_min = cfg.optim.eta_init, cfg.optim.eta_min
+        total = max(cfg.optim.max_iteration, 1)
+
+        def schedule(step):
+            warm = cfg.optim.warmup_steps
+            warm_lr = base_lr * (eta_init + (1.0 - eta_init) * step / warm)
+            progress = jnp.clip((step - warm) / jnp.maximum(total - warm, 1), 0.0, 1.0)
+            cos = 0.5 * (1.0 + jnp.cos(jnp.pi * progress))
+            cos_lr = base_lr * (eta_min + (1.0 - eta_min) * cos)
+            return jnp.where(step < warm, warm_lr, cos_lr)
+
+        return schedule
+    return optax.exponential_decay(
+        init_value=base_lr,
+        transition_steps=steps_per_epoch * cfg.optim.lr_decay_steps,
+        decay_rate=cfg.optim.lr_decay,
+        staircase=True,
+    )
+
+
+def make_optimizer(cfg, steps_per_epoch, world_size=1):
+    """Adam with torch-style (coupled) weight decay, reference trainval.py:31-34."""
+    schedule = make_lr_schedule(cfg, steps_per_epoch, world_size)
+    tx = optax.chain(
+        optax.add_decayed_weights(cfg.optim.weight_decay),
+        optax.scale_by_adam(),
+        optax.scale_by_learning_rate(schedule),
+    )
+    if cfg.optim.grad_acc_steps > 1:
+        tx = optax.MultiSteps(tx, every_k_schedule=cfg.optim.grad_acc_steps)
+    return tx
+
+
+def init_train_state(model, cfg, rng, example_batch, tx):
+    variables = jax.jit(
+        lambda r, b: model.init(
+            {"params": r, "target": jax.random.fold_in(r, 1)},
+            b, training=True, with_gt=True,
+        )
+    )(rng, example_batch)
+    params = variables["params"]
+    constants = variables.get("constants", {})
+    return TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        constants=constants,
+        opt_state=tx.init(params),
+    )
+
+
+def _squeeze_leading(tree):
+    return jax.tree.map(lambda x: x[0], tree)
+
+
+def make_train_step(model, cfg, tx, mesh=None, check_finite=True):
+    """Build the jitted (state, stacked_batch, rng) -> (state, metrics) step.
+
+    With a mesh, `stacked_batch` has a leading device axis of size
+    mesh.shape['data'] (one registration pair per device), sharded over the
+    `data` axis; gradients/metrics are `pmean`-reduced. Without a mesh, the
+    leading axis must be 1.
+    """
+
+    def loss_fn(params, constants, batch, rng):
+        variables = {"params": params, "constants": constants}
+        output = model.apply(
+            variables, batch, training=True, with_gt=True, rngs={"target": rng}
+        )
+        loss, aux = overall_loss(cfg, output, batch["transform"])
+        return loss, aux
+
+    def device_step(state, batch_stacked, rng):
+        batch = _squeeze_leading(batch_stacked)
+        if mesh is not None:
+            rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
+        grads, aux = jax.grad(loss_fn, has_aux=True)(
+            state.params, state.constants, batch, rng
+        )
+        if mesh is not None:
+            grads = jax.lax.pmean(grads, DATA_AXIS)
+            aux = jax.lax.pmean(aux, DATA_AXIS)
+        if check_finite:
+            # NaN/Inf gradient guard (reference base_trainer.py:219-227):
+            # skip the update when any gradient is non-finite.
+            finite = jnp.all(
+                jnp.asarray(
+                    [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]
+                )
+            )
+            grads = jax.tree.map(
+                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
+            )
+            aux = dict(aux, grad_finite=finite.astype(jnp.float32))
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        new_state = state.replace(
+            step=state.step + 1, params=new_params, opt_state=new_opt_state
+        )
+        return new_state, aux
+
+    if mesh is None:
+        return jax.jit(device_step)
+
+    state_spec = P()
+    sharded = shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(state_spec, P(DATA_AXIS), state_spec),
+        out_specs=(state_spec, state_spec),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def make_eval_step(model, cfg, mesh=None):
+    """Jitted inference + metrics step (no grad)."""
+    from geotransformer_tpu.losses.overall import evaluate
+
+    def device_step(state, batch_stacked):
+        batch = _squeeze_leading(batch_stacked)
+        variables = {"params": state.params, "constants": state.constants}
+        output = model.apply(variables, batch, training=False, with_gt=True)
+        loss, aux = overall_loss(cfg, output, batch["transform"])
+        metrics = evaluate(cfg, output, batch["transform"])
+        metrics.update(aux)
+        if mesh is not None:
+            metrics = jax.lax.pmean(metrics, DATA_AXIS)
+        return metrics
+
+    if mesh is None:
+        return jax.jit(device_step)
+    sharded = shard_map(
+        device_step,
+        mesh=mesh,
+        in_specs=(P(), P(DATA_AXIS)),
+        out_specs=P(),
+        check_rep=False,
+    )
+    return jax.jit(sharded)
+
+
+def stack_batches(batches):
+    """Stack per-pair batches along a new leading device axis."""
+    return jax.tree.map(lambda *xs: jnp.stack(xs, axis=0), *batches)

@@ -36,8 +36,32 @@ def _install_reference_stubs():
         ipdb.set_trace = lambda *a, **k: None
         sys.modules["ipdb"] = ipdb
     if "open3d" not in sys.modules:
+        # Minimal open3d stand-in: the reference only needs
+        # io.read_point_cloud for its cached kernel-disposition .ply
+        # (binary_little_endian float64 vertices).
         o3d = types.ModuleType("open3d")
+        io_mod = types.ModuleType("open3d.io")
+
+        class _Pcd:
+            def __init__(self, points):
+                self.points = points
+
+        def read_point_cloud(path):
+            with open(path, "rb") as f:
+                data = f.read()
+            header_end = data.index(b"end_header\n") + len(b"end_header\n")
+            header = data[:header_end].decode()
+            count = int(
+                [line for line in header.splitlines() if line.startswith("element vertex")][0].split()[-1]
+            )
+            assert "binary_little_endian" in header and "float64" in header
+            pts = np.frombuffer(data[header_end:], dtype="<f8", count=count * 3)
+            return _Pcd(pts.reshape(count, 3).copy())
+
+        io_mod.read_point_cloud = read_point_cloud
+        o3d.io = io_mod
         sys.modules["open3d"] = o3d
+        sys.modules["open3d.io"] = io_mod
     if "geotransformer.ext" not in sys.modules:
         # The reference's compiled CPU extension; parity tests exercise the
         # pure-torch modules only, so a raising stub is enough.

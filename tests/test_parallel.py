@@ -1,0 +1,137 @@
+"""Multi-device data-parallel training tests (8 virtual CPU devices)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+from geotransformer_tpu.configs import (
+    make_3dmatch_config,
+    BackboneConfig,
+    ModelConfig,
+    CoarseMatchingConfig,
+    GeoTransformerModuleConfig,
+    CapsConfig,
+)
+from geotransformer_tpu.preprocess import build_pyramid, pad_registration_batch
+from geotransformer_tpu.models import create_model
+from geotransformer_tpu.parallel import (
+    make_mesh,
+    make_optimizer,
+    init_train_state,
+    make_train_step,
+    make_eval_step,
+    stack_batches,
+    shard_batch,
+)
+
+import dataclasses
+
+
+def tiny_config():
+    cfg = make_3dmatch_config()
+    return dataclasses.replace(
+        cfg,
+        backbone=BackboneConfig(
+            num_stages=3, init_voxel_size=0.06, init_dim=16, group_norm=8
+        ),
+        model=ModelConfig(num_points_in_patch=16, num_sinkhorn_iterations=10),
+        coarse_matching=CoarseMatchingConfig(num_targets=16, num_correspondences=32),
+        geotransformer=GeoTransformerModuleConfig(
+            input_dim=128, hidden_dim=32, output_dim=32,
+            blocks=("self", "cross"), num_heads=2,
+        ),
+        caps=CapsConfig(
+            stage_caps=(512, 128, 64),
+            neighbor_limits=(12, 12, 12),
+            gt_candidates=16,
+            gt_chunk_size=16,
+            correspondence_capacity=256,
+        ),
+    )
+
+
+def make_tiny_batch(cfg, seed):
+    rng = np.random.default_rng(seed)
+    n = 400
+    xy = rng.uniform(0, 1, (n, 2)).astype(np.float32)
+    z = 0.2 * np.sin(4 * xy[:, 0]) + 0.01 * rng.normal(size=n)
+    ref = np.column_stack([xy, z]).astype(np.float32)
+    src = ref[ref[:, 0] < 0.8] + 0.005 * rng.normal(size=(np.sum(ref[:, 0] < 0.8), 3)).astype(np.float32)
+    src = src.astype(np.float32)
+    points = np.concatenate([ref, src], 0)
+    lengths = np.asarray([len(ref), len(src)])
+    pyramid = build_pyramid(
+        points, lengths, cfg.backbone.num_stages, cfg.backbone.init_voxel_size,
+        cfg.backbone.init_radius, list(cfg.caps.neighbor_limits),
+    )
+    feats = np.ones((points.shape[0], 1), np.float32)
+    return pad_registration_batch(pyramid, feats, np.eye(4, dtype=np.float32), cfg.caps.stage_caps)
+
+
+class TestDataParallelTraining:
+    def test_eight_device_train_step(self):
+        assert jax.device_count() == 8
+        cfg = tiny_config()
+        model = create_model(cfg)
+        mesh = make_mesh()
+
+        batches = [make_tiny_batch(cfg, seed) for seed in range(8)]
+        stacked = stack_batches([jax.tree.map(jnp.asarray, b) for b in batches])
+        stacked = shard_batch(mesh, stacked)
+
+        tx = make_optimizer(cfg, steps_per_epoch=100, world_size=8)
+        state = init_train_state(
+            model, cfg, jax.random.PRNGKey(0),
+            jax.tree.map(jnp.asarray, batches[0]), tx,
+        )
+        train_step = make_train_step(model, cfg, tx, mesh=mesh)
+
+        rng = jax.random.PRNGKey(42)
+        new_state, aux = jax.block_until_ready(train_step(state, stacked, rng))
+        assert np.isfinite(float(aux["loss"]))
+        assert np.isfinite(float(aux["c_loss"]))
+        assert np.isfinite(float(aux["f_loss"]))
+        assert float(aux["grad_finite"]) == 1.0
+        assert int(new_state.step) == 1
+        # params actually changed
+        diff = jax.tree.map(
+            lambda a, b: float(jnp.abs(a - b).max()), state.params, new_state.params
+        )
+        assert max(jax.tree.leaves(diff)) > 0
+
+        # second step with the new state still finite
+        new_state2, aux2 = jax.block_until_ready(train_step(new_state, stacked, rng))
+        assert np.isfinite(float(aux2["loss"]))
+
+    def test_eval_step_single_device(self):
+        cfg = tiny_config()
+        model = create_model(cfg)
+        batch = jax.tree.map(jnp.asarray, make_tiny_batch(cfg, 0))
+        tx = make_optimizer(cfg, steps_per_epoch=100)
+        state = init_train_state(model, cfg, jax.random.PRNGKey(0), batch, tx)
+        eval_step = make_eval_step(model, cfg, mesh=None)
+        stacked = stack_batches([batch])
+        metrics = jax.block_until_ready(eval_step(state, stacked))
+        for key in ("PIR", "IR", "RRE", "RTE", "RMSE", "RR", "loss"):
+            assert key in metrics
+            assert np.isfinite(float(metrics[key])), key
+        # identity transform pair: registration should be near-perfect even
+        # with random weights? No — random weights give garbage matches, but
+        # RRE/RTE must at least be finite and RR in {0, 1}.
+        assert float(metrics["RR"]) in (0.0, 1.0)
+
+    def test_gradients_synchronized(self):
+        """All-device params remain identical after a sharded step."""
+        cfg = tiny_config()
+        model = create_model(cfg)
+        mesh = make_mesh()
+        batches = [make_tiny_batch(cfg, seed) for seed in range(8)]
+        stacked = shard_batch(mesh, stack_batches([jax.tree.map(jnp.asarray, b) for b in batches]))
+        tx = make_optimizer(cfg, steps_per_epoch=100, world_size=8)
+        state = init_train_state(model, cfg, jax.random.PRNGKey(0), jax.tree.map(jnp.asarray, batches[0]), tx)
+        train_step = make_train_step(model, cfg, tx, mesh=mesh)
+        new_state, _ = train_step(state, stacked, jax.random.PRNGKey(1))
+        # replicated output sharding => single logical value; fetching works
+        leaf = jax.tree.leaves(new_state.params)[0]
+        np.asarray(leaf)  # must not raise
