@@ -18,12 +18,42 @@ All index tables are remapped from the reference's dense stacked frame
 padded frame.
 """
 
+import os
+
 import numpy as np
 
-from geotransformer_tpu.preprocess.voxel import grid_subsample
-from geotransformer_tpu.preprocess.neighbors import radius_search
+from geotransformer_tpu.preprocess.voxel import grid_subsample as _np_grid_subsample
+from geotransformer_tpu.preprocess.neighbors import radius_search as _np_radius_search
 
 PAD_COORD = 1.0e6
+
+
+def _use_native():
+    if os.environ.get("GEOTRANSFORMER_TPU_NATIVE", "1") == "0":
+        return False
+    from geotransformer_tpu import native
+
+    return native.native_available()
+
+
+def grid_subsample(points, lengths, voxel_size):
+    """Dispatch to the C++ host library when built, else numpy."""
+    if _use_native():
+        from geotransformer_tpu import native
+
+        return native.grid_subsample(points, lengths, voxel_size)
+    return _np_grid_subsample(points, lengths, voxel_size)
+
+
+def radius_search(q_points, s_points, q_lengths, s_lengths, radius, neighbor_limit):
+    """Dispatch to the C++ host library when built, else scipy cKDTree."""
+    if _use_native():
+        from geotransformer_tpu import native
+
+        return native.radius_search(
+            q_points, s_points, q_lengths, s_lengths, radius, neighbor_limit
+        )
+    return _np_radius_search(q_points, s_points, q_lengths, s_lengths, radius, neighbor_limit)
 
 
 def build_pyramid(points, lengths, num_stages, voxel_size, radius, neighbor_limits):

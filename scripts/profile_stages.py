@@ -1,9 +1,12 @@
 #!/usr/bin/env python
-"""Per-stage timing of the registration pipeline on the demo pair."""
+"""Per-stage honest timing of the registration pipeline on the demo pair.
+
+Uses the chained-scan slope method (utils/timing.py) because plain
+block_until_ready does not synchronize on this runtime.
+"""
 
 import os.path as osp
 import sys
-import time
 
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
@@ -21,18 +24,7 @@ from geotransformer_tpu.models.backbone import KPConvFPN
 from geotransformer_tpu.models.transformer import GeometricTransformer
 from geotransformer_tpu.models.sinkhorn import LearnableLogOptimalTransport
 from geotransformer_tpu.models.lgr import local_to_global_registration
-from geotransformer_tpu.ops.partition import point_to_node_partition
-
-
-def timed(fn, *args, iters=20, label=""):
-    out = jax.block_until_ready(fn(*args))
-    t0 = time.perf_counter()
-    for _ in range(iters):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    dt = (time.perf_counter() - t0) / iters * 1e3
-    print(f"{label:35s}: {dt:8.2f} ms")
-    return out
+from geotransformer_tpu.utils.timing import chained_ms
 
 
 def main():
@@ -52,56 +44,72 @@ def main():
     variables = jax.jit(lambda r, b: model.init(r, b, training=False, with_gt=False))(
         jax.random.PRNGKey(0), batch)
 
-    full = jax.jit(lambda v, b: model.apply(v, b, training=False, with_gt=False))
-    out = timed(full, variables, batch, label="FULL forward")
+    def perturb_feats(args, carry):
+        v, b = args
+        return v, dict(b, features=b["features"] + carry * 1e-9)
 
-    # backbone only
+    ms = chained_ms(
+        lambda v, b: model.apply(v, b, training=False, with_gt=False),
+        (variables, batch), perturb_feats, lambda o: o["estimated_transform"][0, 0],
+    )
+    print(f"{'FULL forward':35s}: {ms:8.2f} ms", flush=True)
+
     bb = KPConvFPN(cfg.backbone.input_dim, cfg.backbone.output_dim, cfg.backbone.init_dim,
                    cfg.backbone.kernel_size, cfg.backbone.init_radius, cfg.backbone.init_sigma,
                    cfg.backbone.group_norm, num_stages=4, first_fine_stage=1)
     bb_vars = jax.jit(lambda r, f, b: bb.init(r, f, b))(jax.random.PRNGKey(0), batch["features"], batch)
-    bb_fn = jax.jit(lambda v, f, b: bb.apply(v, f, b))
-    feats_list = timed(bb_fn, bb_vars, batch["features"], batch, label="backbone (KPConv FPN)")
+    ms = chained_ms(
+        lambda v, f, b: bb.apply(v, f, b),
+        (bb_vars, batch["features"], batch),
+        lambda args, c: (args[0], args[1] + c * 1e-9, args[2]),
+        lambda o: jnp.sum(o[-1][0]),
+    )
+    print(f"{'backbone (KPConv FPN)':35s}: {ms:8.2f} ms", flush=True)
 
-    # partition
     cap_c = batch["points"][3].shape[0] // 2
-    cap_f = batch["points"][1].shape[0] // 2
-    part_fn = jax.jit(lambda pf, pc, mf, mc: point_to_node_partition(pf, pc, 64, mf, mc))
-    timed(part_fn, batch["points"][1][:cap_f], batch["points"][3][:cap_c],
-          batch["masks"][1][:cap_f], batch["masks"][3][:cap_c], label="partition (ref)")
-
-    # transformer only
     tr = GeometricTransformer(cfg.geotransformer.input_dim, cfg.geotransformer.output_dim,
                               cfg.geotransformer.hidden_dim, cfg.geotransformer.num_heads,
                               cfg.geotransformer.blocks, cfg.geotransformer.sigma_d,
                               cfg.geotransformer.sigma_a, cfg.geotransformer.angle_k)
-    rp = batch["points"][3][None, :cap_c]
-    sp = batch["points"][3][None, cap_c:]
-    rm = batch["masks"][3][None, :cap_c]
-    sm = batch["masks"][3][None, cap_c:]
-    rf = jnp.zeros((1, cap_c, 1024))
-    sf = jnp.zeros((1, cap_c, 1024))
+    rp, sp = batch["points"][3][None, :cap_c], batch["points"][3][None, cap_c:]
+    rm, sm = batch["masks"][3][None, :cap_c], batch["masks"][3][None, cap_c:]
+    rf = jnp.ones((1, cap_c, 1024)) * 0.01
+    sf = jnp.ones((1, cap_c, 1024)) * 0.01
     tr_vars = jax.jit(lambda r: tr.init(r, rp, sp, rf, sf, rm, sm))(jax.random.PRNGKey(0))
-    tr_fn = jax.jit(lambda v: tr.apply(v, rp, sp, rf, sf, rm, sm))
-    timed(tr_fn, tr_vars, label="geometric transformer")
+    ms = chained_ms(
+        lambda v, a, b: tr.apply(v, rp, sp, a, b, rm, sm),
+        (tr_vars, rf, sf),
+        lambda args, c: (args[0], args[1] + c * 1e-9, args[2]),
+        lambda o: jnp.sum(o[0]),
+    )
+    print(f"{'geometric transformer':35s}: {ms:8.2f} ms", flush=True)
 
-    # sinkhorn only
     ot = LearnableLogOptimalTransport(100)
     p, k = 256, 64
-    scores = jnp.zeros((p, k, k))
+    scores = jnp.ones((p, k, k)) * 0.1
     masks = jnp.ones((p, k), dtype=bool)
     ot_vars = jax.jit(lambda r: ot.init(r, scores, masks, masks))(jax.random.PRNGKey(0))
-    ot_fn = jax.jit(lambda v: ot.apply(v, scores, masks, masks))
-    timed(ot_fn, ot_vars, label="sinkhorn (100 it)")
+    ms = chained_ms(
+        lambda v, s: ot.apply(v, s, masks, masks),
+        (ot_vars, scores),
+        lambda args, c: (args[0], args[1] + c * 1e-9),
+        lambda o: jnp.sum(o),
+    )
+    print(f"{'sinkhorn (100 it)':35s}: {ms:8.2f} ms", flush=True)
 
-    # LGR only
-    rkp = jnp.asarray(np.random.default_rng(0).uniform(0, 1, (p, k, 3)), jnp.float32)
+    rng = np.random.default_rng(0)
+    rkp = jnp.asarray(rng.uniform(0, 1, (p, k, 3)), jnp.float32)
     skp = rkp + 0.01
     log_scores = jnp.zeros((p, k, k))
-    lgr_fn = jax.jit(lambda a, b, s: local_to_global_registration(
-        a, b, masks, masks, s, k=3, acceptance_radius=0.1,
-        correspondence_limit=cfg.caps.correspondence_capacity))
-    timed(lgr_fn, rkp, skp, log_scores, label="LGR")
+    ms = chained_ms(
+        lambda a, b, s: local_to_global_registration(
+            a, b, masks, masks, s, k=3, acceptance_radius=0.1,
+            correspondence_limit=cfg.caps.correspondence_capacity)["estimated_transform"],
+        (rkp, skp, log_scores),
+        lambda args, c: (args[0] + c * 1e-9, args[1], args[2]),
+        lambda o: o[0, 0],
+    )
+    print(f"{'LGR':35s}: {ms:8.2f} ms", flush=True)
 
 
 if __name__ == "__main__":

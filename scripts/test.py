@@ -1,0 +1,105 @@
+#!/usr/bin/env python
+r"""Benchmark inference CLI (reference: experiments/.../test.py).
+
+Runs the model on a test split, evaluates device-side metrics, and dumps
+per-pair feature archives for scripts/eval.py.
+"""
+
+import argparse
+import os.path as osp
+import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+
+import jax
+
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+
+from geotransformer_tpu.configs import make_config
+from geotransformer_tpu.models import create_model
+from geotransformer_tpu.engine import Tester, CheckpointManager
+from geotransformer_tpu.preprocess.loader import PairLoader
+from geotransformer_tpu.parallel import TrainState, make_optimizer, init_train_state
+
+
+def main():
+    parser = argparse.ArgumentParser()
+    parser.add_argument("--dataset", choices=("3dmatch", "kitti", "modelnet"), required=True)
+    parser.add_argument("--data_root", required=True)
+    parser.add_argument("--benchmark", default=None,
+                        help="3DMatch subset name: 3DMatch | 3DLoMatch | val")
+    parser.add_argument("--checkpoint_dir", default=None)
+    parser.add_argument("--torch_snapshot", default=None,
+                        help="convert a reference .pth.tar instead of a checkpoint")
+    parser.add_argument("--output_dir", default=None)
+    parser.add_argument("--num_workers", type=int, default=8)
+    args = parser.parse_args()
+
+    cfg = make_config(args.dataset)
+    output_dir = args.output_dir or f"output/{args.dataset}"
+    benchmark = args.benchmark or "test"
+
+    if cfg.dataset == "3dmatch":
+        from geotransformer_tpu.datasets import ThreeDMatchPairDataset
+
+        dataset = ThreeDMatchPairDataset(args.data_root, benchmark, point_limit=None)
+    elif cfg.dataset == "kitti":
+        from geotransformer_tpu.datasets import OdometryKittiPairDataset
+
+        dataset = OdometryKittiPairDataset(args.data_root, "test", point_limit=None)
+    else:
+        from geotransformer_tpu.datasets import ModelNetPairDataset
+
+        dataset = ModelNetPairDataset(
+            args.data_root, "test", num_points=717, noise_magnitude=0.05,
+            keep_ratio=0.7, twice_sample=True, deterministic=True,
+        )
+
+    pipeline_cfg = dict(
+        num_stages=cfg.backbone.num_stages,
+        voxel_size=cfg.backbone.init_voxel_size,
+        search_radius=cfg.backbone.init_radius,
+        neighbor_limits=cfg.caps.neighbor_limits,
+        stage_caps=cfg.caps.stage_caps,
+        input_dim=cfg.backbone.input_dim,
+    )
+    loader = PairLoader(dataset, pipeline_cfg, batch_size=1, num_workers=args.num_workers)
+
+    model = create_model(cfg)
+    from geotransformer_tpu.preprocess.loader import prepare_pair
+
+    example = prepare_pair(dataset[0], **pipeline_cfg)
+    example.pop("meta", None)
+    import jax.numpy as jnp
+
+    example = jax.tree.map(jnp.asarray, example)
+    variables = jax.jit(lambda r, b: model.init(r, b, training=False, with_gt=True))(
+        jax.random.PRNGKey(cfg.seed), example
+    )
+
+    if args.torch_snapshot:
+        import torch
+
+        from geotransformer_tpu.utils.convert import torch_state_dict_to_variables
+
+        state = torch.load(args.torch_snapshot, map_location="cpu", weights_only=False)
+        state_dict = state.get("model", state)
+        variables, unused = torch_state_dict_to_variables(state_dict, variables)
+        unused = [k for k in unused if not k.endswith("div_term")]
+        print(f"converted {args.torch_snapshot}; unused: {unused}")
+    elif args.checkpoint_dir:
+        tx = make_optimizer(cfg, steps_per_epoch=1)
+        state = init_train_state(model, cfg, jax.random.PRNGKey(0), example, tx)
+        manager = CheckpointManager(args.checkpoint_dir)
+        state, step = manager.restore(state)
+        print(f"restored checkpoint step {step}")
+        variables = {"params": state.params, "constants": state.constants}
+
+    feature_dir = osp.join(output_dir, "features", benchmark)
+    tester = Tester(cfg, model, loader, output_dir=output_dir, feature_dir=feature_dir)
+    summary, _ = tester.run(variables)
+    print({k: round(v, 4) for k, v in summary.items()})
+
+
+if __name__ == "__main__":
+    main()
