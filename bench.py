@@ -61,37 +61,24 @@ def main():
 
     # Timing methodology: this TPU is reached through an async relay where
     # block_until_ready does not synchronize with device execution — only a
-    # host fetch does, and each fetch costs ~30ms RPC. So we chain L
-    # data-dependent forwards inside ONE jit (lax.scan), fetch a scalar, and
-    # take the slope between two chain lengths to cancel the fixed overhead.
-    def make_chain(length):
-        @jax.jit
-        def chain(variables, batch):
-            def body(carry, _):
-                b = dict(batch, features=batch["features"] + carry * 1e-9)
-                out = model.apply(variables, b, training=False, with_gt=False)
-                return out["estimated_transform"][0, 0], None
-            final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=length)
-            return final
-        return chain
+    # host fetch does, and each fetch costs ~30ms RPC. chained_ms chains L
+    # data-dependent forwards inside one dynamic-trip-count while_loop (one
+    # executable), fetches a scalar, and differences two chain lengths to
+    # cancel the fixed overhead (see geotransformer_tpu/utils/timing.py).
+    from geotransformer_tpu.utils.timing import chained_ms
 
-    l_short, l_long = 2, 22
-    chain_short, chain_long = make_chain(l_short), make_chain(l_long)
-    out = jax.jit(lambda v, b: model.apply(v, b, training=False, with_gt=False))(variables, batch)
-    assert np.isfinite(np.asarray(out["estimated_transform"])).all()
-    float(chain_short(variables, batch))  # compile
-    float(chain_long(variables, batch))
+    def perturb(args, carry):
+        v, b = args
+        return v, dict(b, features=b["features"] + carry * 1e-9)
 
-    def fetch_time(fn, repeats=3):
-        times = []
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            float(fn(variables, batch))
-            times.append(time.perf_counter() - t0)
-        return min(times)
-
-    dt = (fetch_time(chain_long) - fetch_time(chain_short)) / (l_long - l_short)
-    pairs_per_sec = 1.0 / dt
+    ms = chained_ms(
+        lambda v, b: model.apply(v, b, training=False, with_gt=False),
+        (variables, batch),
+        perturb,
+        lambda out: out["estimated_transform"][0, 0],
+        lengths=(1, 11),
+    )
+    pairs_per_sec = 1000.0 / ms
 
     print(json.dumps({
         "metric": "3dmatch_demo_pair_model_throughput",

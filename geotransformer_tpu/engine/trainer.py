@@ -51,6 +51,8 @@ class Trainer:
         use_mesh=True,
         log_steps=10,
         max_checkpoints=None,
+        tensorboard=True,
+        profile_steps=None,
     ):
         self.cfg = cfg
         self.model = model
@@ -77,6 +79,36 @@ class Trainer:
         self.state = None
         self.epoch = 0
         self.rng = jax.random.PRNGKey(cfg.seed + jax.process_index())
+
+        # TensorBoard scalars (reference base_trainer.py:60,246-251);
+        # torch's writer is used lazily and only on process 0.
+        self.writer = None
+        if tensorboard and jax.process_index() == 0:
+            try:
+                from torch.utils.tensorboard import SummaryWriter
+
+                self.writer = SummaryWriter(os.path.join(output_dir, "events"))
+            except Exception:
+                self.writer = None
+        # Capture a jax.profiler trace covering steps [a, b) when set.
+        self.profile_steps = profile_steps
+        self._profiling = False
+
+    def _write_scalars(self, prefix, metrics, step):
+        if self.writer is not None:
+            for key, value in metrics.items():
+                self.writer.add_scalar(f"{prefix}/{key}", value, step)
+
+    def _maybe_profile(self, global_step):
+        if self.profile_steps is None:
+            return
+        start, stop = self.profile_steps
+        if global_step == start and not self._profiling:
+            jax.profiler.start_trace(os.path.join(self.output_dir, "profile"))
+            self._profiling = True
+        elif global_step >= stop and self._profiling:
+            jax.profiler.stop_trace()
+            self._profiling = False
 
     def initialize(self, example_batch):
         example = {k: v for k, v in example_batch.items() if k != "meta"}
@@ -105,11 +137,13 @@ class Trainer:
             batch = _device_batch(group, self.mesh)
             timer.toc_prepare()
             timer.tic_process()
+            self._maybe_profile(int(self.state.step))
             self.rng, step_rng = jax.random.split(self.rng)
             self.state, aux = self.train_step(self.state, batch, step_rng)
-            jax.block_until_ready(aux)
+            aux = {k: float(v) for k, v in aux.items()}
             timer.toc_process()
-            summary.update_from_dict({k: float(v) for k, v in aux.items()})
+            summary.update_from_dict(aux)
+            self._write_scalars("train", aux, int(self.state.step))
             if (it + 1) % self.log_steps == 0:
                 self.logger.info(
                     f"epoch {self.epoch} it {it + 1}/{len(self.train_loader)}: "
@@ -129,6 +163,7 @@ class Trainer:
             summary.update_from_dict({k: float(v) for k, v in metrics.items()})
         result = summary.summary()
         self.logger.info(f"validation epoch {self.epoch}: {summary.tostring()}")
+        self._write_scalars("val", result, int(self.state.step))
         return result
 
     def run(self):

@@ -15,7 +15,16 @@ from geotransformer_tpu.models.transformer import (
     GeometricTransformer,
     GeometricStructureEmbedding,
     RPEConditionalTransformer,
+    TransformerEncoder,
+    TransformerDecoder,
 )
+from geotransformer_tpu.models.transformer_variants import (
+    VanillaConditionalTransformer,
+    PEConditionalTransformer,
+    LRPEConditionalTransformer,
+    LearnablePositionalEmbedding,
+)
+from geotransformer_tpu.models.point_matching import point_matching
 from geotransformer_tpu.models.sinkhorn import LearnableLogOptimalTransport
 from geotransformer_tpu.models.procrustes import weighted_procrustes
 from geotransformer_tpu.models.matching import (

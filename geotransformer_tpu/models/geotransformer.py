@@ -212,8 +212,13 @@ class GeoTransformer(nn.Module):
         matching_scores = jnp.einsum(
             "pnd,pmd->pnm", ref_node_corr_knn_feats, src_node_corr_knn_feats
         ) / (feats_f.shape[1] ** 0.5)
+        # Pallas VMEM-resident Sinkhorn for inference; differentiable scan
+        # for training (the Pallas kernel is forward-only).
+        on_tpu = jax.devices()[0].platform == "tpu"
+        ot_backend = "pallas" if (on_tpu and not training) else "scan"
         matching_scores = LearnableLogOptimalTransport(
-            cfg.model.num_sinkhorn_iterations, name="optimal_transport"
+            cfg.model.num_sinkhorn_iterations, backend=ot_backend,
+            name="optimal_transport",
         )(matching_scores, ref_node_corr_knn_masks, src_node_corr_knn_masks)
         out["matching_scores"] = matching_scores
 

@@ -50,8 +50,12 @@ def _optimize_kernel_points(num_points, dimension=3, num_iters=10000, seed=1):
         points += step * grad / norm
         points[0] = 0.0
 
+    # Normalize the shell to the KPConv occupancy ratio: non-center points sit
+    # at ~0.66 of the kernel radius so neighboring influence regions overlap
+    # (same convention as the reference disposition, whose 14 outer points lie
+    # on a shell of radius ~0.66).
     radii = np.linalg.norm(points[1:], axis=1)
-    points /= radii.mean()
+    points *= 0.66 / radii.mean()
     points[0] = 0.0
     return points.astype(np.float32)
 

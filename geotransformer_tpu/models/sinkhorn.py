@@ -15,7 +15,15 @@ _INF = 1e12
 
 
 class LearnableLogOptimalTransport(nn.Module):
+    """SuperGlue-style OT. `backend`:
+      * "scan"   — XLA lax.scan loop (differentiable; used for training)
+      * "pallas" — VMEM-resident Pallas kernel (forward-only, fastest)
+      * "auto"   — pallas on TPU when gradients are not needed upstream
+                   (selected by the caller via `use_pallas`).
+    """
+
     num_iterations: int
+    backend: str = "scan"
 
     @nn.compact
     def __call__(self, scores, row_masks=None, col_masks=None):
@@ -69,6 +77,14 @@ class LearnableLogOptimalTransport(nn.Module):
             axis=1,
         )
         log_nu = jnp.where(padded_col_masks, -_INF, log_nu)
+
+        if self.backend == "pallas":
+            from geotransformer_tpu.kernels.sinkhorn import sinkhorn_log_iterations
+
+            outputs = sinkhorn_log_iterations(
+                padded_scores, log_mu, log_nu, self.num_iterations
+            )
+            return outputs - norm[:, None, None]
 
         def body(carry, _):
             u, v = carry

@@ -4,8 +4,9 @@ On this runtime, ``jax.block_until_ready`` resolves without waiting for
 device execution; only a host fetch synchronizes, and each fetch pays a
 fixed ~30ms RPC cost. :func:`chained_ms` therefore measures the *slope*:
 it chains L data-dependent invocations of the target function inside one
-``lax.scan``, fetches one scalar, and differences two chain lengths so the
-fixed overhead cancels. Validated against a known-FLOP matmul chain
+``lax.while_loop`` whose trip count is a runtime operand (so one executable
+serves every L), fetches one scalar, and differences two chain lengths so
+the fixed overhead cancels. Validated against a known-FLOP matmul chain
 (142 TFLOP/s bf16 on v5e, ~72% of peak).
 """
 
@@ -15,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 
-def chained_ms(fn, args, perturb, reduce_out, lengths=(1, 5), repeats=3):
+def chained_ms(fn, args, perturb, reduce_out, lengths=(1, 9), repeats=3):
     """Milliseconds per invocation of `fn`, overhead-cancelled.
 
     Args:
@@ -24,36 +25,36 @@ def chained_ms(fn, args, perturb, reduce_out, lengths=(1, 5), repeats=3):
         perturb: ``(args, carry_scalar) -> args`` injecting a data dependency
             so chained invocations cannot be parallelized or CSE'd.
         reduce_out: ``out -> scalar`` feeding the next carry.
-        lengths: (short, long) chain lengths.
+        lengths: (short, long) chain lengths (dynamic; no extra compiles).
         repeats: timing repeats (min taken).
 
     Returns:
         float milliseconds per single invocation.
     """
+
+    @jax.jit
+    def chain(n, *args):
+        def cond(state):
+            i, _ = state
+            return i < n
+
+        def body(state):
+            i, carry = state
+            out = fn(*perturb(args, carry))
+            return i + 1, reduce_out(out).astype(jnp.float32)
+
+        _, final = jax.lax.while_loop(cond, body, (jnp.int32(0), jnp.float32(0.0)))
+        return final
+
     l_short, l_long = lengths
+    float(chain(jnp.int32(l_short), *args))  # compile + sync
 
-    def make(length):
-        @jax.jit
-        def chain(*args):
-            def body(carry, _):
-                out = fn(*perturb(args, carry))
-                return reduce_out(out).astype(jnp.float32), None
-
-            final, _ = jax.lax.scan(body, jnp.float32(0.0), None, length=length)
-            return final
-
-        return chain
-
-    chain_short, chain_long = make(l_short), make(l_long)
-    float(chain_short(*args))  # compile + sync
-    float(chain_long(*args))
-
-    def fetch(fn_):
+    def fetch(n):
         best = float("inf")
         for _ in range(repeats):
             t0 = time.perf_counter()
-            float(fn_(*args))
+            float(chain(jnp.int32(n), *args))
             best = min(best, time.perf_counter() - t0)
         return best
 
-    return (fetch(chain_long) - fetch(chain_short)) / (l_long - l_short) * 1e3
+    return (fetch(l_long) - fetch(l_short)) / (l_long - l_short) * 1e3
