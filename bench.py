@@ -65,18 +65,12 @@ def main():
     # data-dependent forwards inside one dynamic-trip-count while_loop (one
     # executable), fetches a scalar, and differences two chain lengths to
     # cancel the fixed overhead (see geotransformer_tpu/utils/timing.py).
-    from geotransformer_tpu.utils.timing import chained_ms
+    from geotransformer_tpu.utils.timing import fetch_diff_ms
 
-    def perturb(args, carry):
-        v, b = args
-        return v, dict(b, features=b["features"] + carry * 1e-9)
-
-    ms = chained_ms(
+    ms = fetch_diff_ms(
         lambda v, b: model.apply(v, b, training=False, with_gt=False),
         (variables, batch),
-        perturb,
         lambda out: out["estimated_transform"][0, 0],
-        lengths=(1, 11),
     )
     pairs_per_sec = 1000.0 / ms
 

@@ -1,0 +1,185 @@
+r"""Pallas TPU kernel: fused KPConv influence + contraction.
+
+The XLA path of :class:`geotransformer_tpu.models.kpconv.KPConv` materializes
+three (M, H, K)/(M, K, C)-sized intermediates in HBM (kernel influences,
+weighted neighbor features) around two poorly-shaped batched matmuls. At
+stage-0 scale (M=38k, H=38) that costs ~6 ms per convolution. This kernel
+receives ONE well-shaped gathered block per query tile — neighbor features
+concatenated with neighbor coordinates and squared norms — and performs the
+whole convolution in VMEM:
+
+    offsets  = s[h] - q                       (TM, H, 3)
+    sq       = |offsets - kp_k|^2             (TM, H, K) expanded, never in HBM
+    infl     = max(1 - sqrt(sq)/sigma, 0)
+    out      = sum_k (sum_h infl[...k] * nf) @ W_k   accumulated in f32
+    out     /= #neighbors with positive feature sum   (reference quirk)
+
+Only the gathered block (read once) and the (M, C_out) result touch HBM.
+
+Layout: the gather input G has lanes [s_x, s_y, s_z, |s|^2, 0,0,0,0,
+feats...] so the aug part occupies lanes [0, 8) and features [8, 8+C).
+Shadow neighbors are all-zero rows: their features contribute nothing and
+the feature-sum neighbor count excludes them, exactly like the XLA path.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from geotransformer_tpu.ops.gather import gather_with_shadow
+
+_AUG = 8  # lanes reserved for [s(3), |s|^2(1), padding(4)]
+
+
+def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *, num_kernel_points, c_in, sigma):
+    g = g_ref[0]  # (TM, H, AUG + C)
+    q = q_ref[0]  # (TM, AUG) — lanes [q(3), |q|^2(1), ...]
+    kp = kp_ref[0]  # (K, AUG) — lanes [kp(3), |kp|^2(1), ...]
+
+    sp = g[:, :, :3]  # (TM, H, 3)
+    sq_s = g[:, :, 3]  # (TM, H)
+    nf = g[:, :, _AUG : _AUG + c_in]  # (TM, H, C)
+
+    qp = q[:, :3]  # (TM, 3)
+    sq_q = q[:, 3]  # (TM,)
+
+    tm, h = sp.shape[0], sp.shape[1]
+
+    # |s - q|^2 = |s|^2 - 2 s.q + |q|^2
+    s_dot_q = jnp.sum(sp * qp[:, None, :], axis=-1)  # (TM, H)
+    sq_off = sq_s - 2.0 * s_dot_q + sq_q[:, None]  # (TM, H)
+    # (s - q) . kp_k = s.kp - q.kp
+    s_dot_kp = jax.lax.dot_general(
+        sp.reshape(tm * h, 3), kp[:, :3].T,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).reshape(tm, h, num_kernel_points)  # (TM, H, K)
+    q_dot_kp = jax.lax.dot_general(
+        qp, kp[:, :3].T, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (TM, K)
+    sq = (
+        sq_off[:, :, None]
+        - 2.0 * (s_dot_kp - q_dot_kp[:, None, :])
+        + kp[:, 3][None, None, :]
+    )
+    sq = jnp.maximum(sq, 1e-20)
+    influence = jnp.maximum(1.0 - jnp.sqrt(sq) / sigma, 0.0)  # (TM, H, K)
+
+    # neighbor count from positive feature sums (reference kpconv.py:113-116)
+    feat_sum = jnp.sum(nf, axis=-1)  # (TM, H)
+    count = jnp.maximum(
+        jnp.sum((feat_sum > 0.0).astype(jnp.float32), axis=-1), 1.0
+    )  # (TM,)
+
+    # Batched MXU contraction over neighbors (Mosaic supports batch dims):
+    # t[t,k,c] = sum_h influence[t,h,k] * nf[t,h,c]. The (K*C) lane-merge
+    # reshape is unsupported, so the weight contraction is K static-sliced
+    # matmuls — each temp is only (TM, C_out).
+    t = jax.lax.dot_general(
+        influence, nf, (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (TM, K, C)
+    acc = jnp.zeros((tm, w_ref.shape[2]), dtype=jnp.float32)
+    for k in range(num_kernel_points):
+        acc = acc + jax.lax.dot_general(
+            t[:, k, :], w_ref[k], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+    out_ref[0] = acc / count[:, None]
+
+
+def kpconv_fused(
+    s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
+    sigma, bias=None, tile_m=128, interpret=None,
+):
+    """Fused KPConv forward.
+
+    Args:
+        s_feats: (N, C_in) support features.
+        q_points: (M, 3) query points.
+        s_points: (N, 3) support points.
+        neighbor_indices: (M, H) int32, sentinel == N.
+        kernel_points: (K, 3).
+        weights: (K, C_in, C_out).
+        sigma: influence radius.
+        bias: optional (C_out,).
+        tile_m: query rows per program.
+
+    Returns:
+        (M, C_out) float32 features.
+    """
+    m = q_points.shape[0]
+    k, c_in, c_out = weights.shape
+
+    # Combined gather: [s(3), |s|^2(1), pad(4), feats(C)] per support point.
+    aug_support = jnp.concatenate(
+        [
+            s_points,
+            jnp.sum(s_points**2, axis=-1, keepdims=True),
+            jnp.zeros((s_points.shape[0], _AUG - 4), s_points.dtype),
+            s_feats,
+        ],
+        axis=1,
+    )  # (N, AUG + C)
+    g = gather_with_shadow(aug_support, neighbor_indices, 0.0)  # (M, H, AUG+C)
+
+    q_aug = jnp.concatenate(
+        [
+            q_points,
+            jnp.sum(q_points**2, axis=-1, keepdims=True),
+            jnp.zeros((m, _AUG - 4), q_points.dtype),
+        ],
+        axis=1,
+    )  # (M, AUG)
+    kp_aug = jnp.concatenate(
+        [
+            kernel_points,
+            jnp.sum(kernel_points**2, axis=-1, keepdims=True),
+            jnp.zeros((k, _AUG - 4), kernel_points.dtype),
+        ],
+        axis=1,
+    )  # (K, AUG)
+
+    num_tiles = -(-m // tile_m)
+    pad_m = num_tiles * tile_m
+    if pad_m != m:
+        g = jnp.pad(g, ((0, pad_m - m), (0, 0), (0, 0)))
+        q_aug = jnp.pad(q_aug, ((0, pad_m - m), (0, 0)))
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    kernel = functools.partial(
+        _kpconv_kernel, num_kernel_points=k, c_in=c_in, sigma=float(sigma)
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(
+                (1, tile_m, g.shape[1], g.shape[2]),
+                lambda i: (i, 0, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, tile_m, _AUG), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, k, _AUG), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, tile_m, c_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, tile_m, c_out), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(
+        g.reshape(num_tiles, tile_m, g.shape[1], g.shape[2]),
+        q_aug.reshape(num_tiles, tile_m, _AUG),
+        kp_aug[None],
+        weights,
+    )
+    out = out.reshape(pad_m, c_out)[:m]
+    if bias is not None:
+        out = out + bias
+    return out

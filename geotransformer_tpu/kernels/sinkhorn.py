@@ -26,30 +26,27 @@ def _round_up(x, m):
 
 
 def _sinkhorn_kernel(scores_ref, log_mu_ref, log_nu_ref, out_ref, *, num_iterations):
-    scores = scores_ref[0]  # (M1p, N1p)
-    log_mu = log_mu_ref[0]  # (M1p, 1) column layout
-    log_nu = log_nu_ref[0]  # (1, N1p)
+    # A block of BP patches is processed jointly: each u/v update reduces a
+    # (BP, M1p, N1p) tensor, which keeps the VPU busy — one patch per program
+    # is latency-bound (25k+ dependent tiny reductions for P=256, iters=100).
+    scores = scores_ref[...]  # (BP, M1p, N1p)
+    log_mu = log_mu_ref[...]  # (BP, M1p, 1)
+    log_nu = log_nu_ref[...]  # (BP, 1, N1p)
 
-    def logsumexp_rows(x):
-        # reduce over lanes (last axis) -> (M1p, 1)
-        m = jnp.max(x, axis=1, keepdims=True)
-        return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=1, keepdims=True))
-
-    def logsumexp_cols(x):
-        # reduce over sublanes (first axis) -> (1, N1p)
-        m = jnp.max(x, axis=0, keepdims=True)
-        return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=0, keepdims=True))
+    def logsumexp(x, axis):
+        m = jnp.max(x, axis=axis, keepdims=True)
+        return m + jnp.log(jnp.sum(jnp.exp(x - m), axis=axis, keepdims=True))
 
     def body(_, carry):
         u, v = carry
-        u = log_mu - logsumexp_rows(scores + v)  # (M1p, 1)
-        v = log_nu - logsumexp_cols(scores + u)  # (1, N1p)
+        u = log_mu - logsumexp(scores + v, 2)  # (BP, M1p, 1)
+        v = log_nu - logsumexp(scores + u, 1)  # (BP, 1, N1p)
         return u, v
 
     u0 = jnp.zeros_like(log_mu)
     v0 = jnp.zeros_like(log_nu)
     u, v = jax.lax.fori_loop(0, num_iterations, body, (u0, v0))
-    out_ref[0] = scores + u + v
+    out_ref[...] = scores + u + v
 
 
 def sinkhorn_log_iterations(padded_scores, log_mu, log_nu, num_iterations):
@@ -68,25 +65,38 @@ def sinkhorn_log_iterations(padded_scores, log_mu, log_nu, num_iterations):
     m1p = _round_up(m1, 8)
     n1p = _round_up(n1, 128)
 
+    # Patches per program: enough rows to fill the VPU, bounded by VMEM
+    # (block + double-buffering must stay well under the scoped limit).
+    bp = max(1, min(16, (2 * 1024 * 1024) // (m1p * n1p * 4)))
+    pp = _round_up(p, bp)
+
     scores_p = jnp.pad(
-        padded_scores, ((0, 0), (0, m1p - m1), (0, n1p - n1)), constant_values=-_BIG
+        padded_scores,
+        ((0, pp - p), (0, m1p - m1), (0, n1p - n1)),
+        constant_values=-_BIG,
     )
-    log_mu_p = jnp.pad(log_mu, ((0, 0), (0, m1p - m1)), constant_values=-_BIG)
-    log_nu_p = jnp.pad(log_nu, ((0, 0), (0, n1p - n1)), constant_values=-_BIG)
-    log_mu_col = log_mu_p[:, :, None]  # (P, M1p, 1)
-    log_nu_row = log_nu_p[:, None, :]  # (P, 1, N1p)
+    log_mu_p = jnp.pad(
+        log_mu, ((0, pp - p), (0, m1p - m1)), constant_values=-_BIG
+    )
+    log_nu_p = jnp.pad(
+        log_nu, ((0, pp - p), (0, n1p - n1)), constant_values=-_BIG
+    )
+    log_mu_col = log_mu_p[:, :, None]  # (PP, M1p, 1)
+    log_nu_row = log_nu_p[:, None, :]  # (PP, 1, N1p)
 
     kernel = functools.partial(_sinkhorn_kernel, num_iterations=num_iterations)
     out = pl.pallas_call(
         kernel,
-        grid=(p,),
+        grid=(pp // bp,),
         in_specs=[
-            pl.BlockSpec((1, m1p, n1p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, m1p, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, n1p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, m1p, n1p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, m1p, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((bp, 1, n1p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, m1p, n1p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct((p, m1p, n1p), padded_scores.dtype),
+        out_specs=pl.BlockSpec(
+            (bp, m1p, n1p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((pp, m1p, n1p), padded_scores.dtype),
         interpret=jax.devices()[0].platform != "tpu",
     )(scores_p, log_mu_col, log_nu_row)
-    return out[:, :m1, :n1]
+    return out[:p, :m1, :n1]

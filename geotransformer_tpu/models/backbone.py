@@ -38,6 +38,7 @@ class KPConvFPN(nn.Module):
     group_norm: int
     num_stages: int = 4
     first_fine_stage: int = 1  # stage index the last decoder emits (0-based)
+    use_pallas: bool = False  # fused KPConv kernels (inference on TPU)
 
     @nn.compact
     def __call__(self, feats, batch):
@@ -68,23 +69,25 @@ class KPConvFPN(nn.Module):
             if i == 0:
                 x = ConvBlock(
                     self.input_dim, d, k, radius, sigma, self.group_norm,
-                    name="encoder1_1",
+                    use_pallas=self.use_pallas, name="encoder1_1",
                 )(x, points[0], points[0], neighbors[0], masks[0])
                 x = ResidualBlock(
-                    d, 2 * d, k, radius, sigma, self.group_norm, name="encoder1_2"
+                    d, 2 * d, k, radius, sigma, self.group_norm,
+                    use_pallas=self.use_pallas, name="encoder1_2",
                 )(x, points[0], points[0], neighbors[0], masks[0], masks[0])
             else:
                 x = ResidualBlock(
                     cdim, cdim, k, radius / 2, sigma / 2, self.group_norm,
-                    strided=True, name=f"encoder{i + 1}_1",
+                    strided=True, use_pallas=self.use_pallas,
+                    name=f"encoder{i + 1}_1",
                 )(x, points[i], points[i - 1], subsampling[i - 1], masks[i], masks[i - 1])
                 x = ResidualBlock(
                     cdim, 2 * cdim, k, radius, sigma, self.group_norm,
-                    name=f"encoder{i + 1}_2",
+                    use_pallas=self.use_pallas, name=f"encoder{i + 1}_2",
                 )(x, points[i], points[i], neighbors[i], masks[i], masks[i])
                 x = ResidualBlock(
                     2 * cdim, 2 * cdim, k, radius, sigma, self.group_norm,
-                    name=f"encoder{i + 1}_3",
+                    use_pallas=self.use_pallas, name=f"encoder{i + 1}_3",
                 )(x, points[i], points[i], neighbors[i], masks[i], masks[i])
             stage_feats.append(x)  # stage i feats: (N_i, 2^{i+1} d)
 

@@ -103,6 +103,7 @@ class GeoTransformer(nn.Module):
             out["gt_cand_masks"] = gt_cand_masks
 
         # 2. KPConv feature pyramid over the stacked pair.
+        on_tpu = jax.devices()[0].platform == "tpu"
         feats_list = KPConvFPN(
             cfg.backbone.input_dim,
             cfg.backbone.output_dim,
@@ -113,6 +114,7 @@ class GeoTransformer(nn.Module):
             cfg.backbone.group_norm,
             num_stages=cfg.backbone.num_stages,
             first_fine_stage=fine,
+            use_pallas=(on_tpu and not training),
             name="backbone",
         )(batch["features"], batch)
         feats_c = feats_list[-1]
@@ -214,7 +216,6 @@ class GeoTransformer(nn.Module):
         ) / (feats_f.shape[1] ** 0.5)
         # Pallas VMEM-resident Sinkhorn for inference; differentiable scan
         # for training (the Pallas kernel is forward-only).
-        on_tpu = jax.devices()[0].platform == "tpu"
         ot_backend = "pallas" if (on_tpu and not training) else "scan"
         matching_scores = LearnableLogOptimalTransport(
             cfg.model.num_sinkhorn_iterations, backend=ot_backend,

@@ -38,6 +38,7 @@ class KPConv(nn.Module):
     radius: float
     sigma: float
     use_bias: bool = False
+    use_pallas: bool = False  # fused VMEM kernel (forward-only; inference)
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices):
@@ -62,6 +63,25 @@ class KPConv(nn.Module):
             _kpconv_weight_init,
             (self.kernel_size, self.in_channels, self.out_channels),
         )
+
+        if self.use_pallas:
+            from geotransformer_tpu.kernels.kpconv import kpconv_fused
+
+            bias = (
+                self.param("bias", nn.initializers.zeros, (self.out_channels,))
+                if self.use_bias
+                else None
+            )
+            if self.in_channels <= 64:
+                tile_m = 128
+            elif self.in_channels <= 256:
+                tile_m = 64
+            else:
+                tile_m = 32
+            return kpconv_fused(
+                s_feats, q_points, s_points, neighbor_indices,
+                kernel_points, weights, self.sigma, bias=bias, tile_m=tile_m,
+            )
 
         # Neighbor offsets relative to each query (shadow -> huge coordinate).
         neighbors = gather_with_shadow(s_points, neighbor_indices, _SHADOW_COORD)
@@ -172,12 +192,14 @@ class ConvBlock(nn.Module):
     radius: float
     sigma: float
     group_norm: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_mask=None):
         x = KPConv(
             self.in_channels, self.out_channels, self.kernel_size,
-            self.radius, self.sigma, use_bias=True, name="KPConv",
+            self.radius, self.sigma, use_bias=True,
+            use_pallas=self.use_pallas, name="KPConv",
         )(s_feats, q_points, s_points, neighbor_indices)
         x = GroupNorm(self.group_norm, self.out_channels, name="norm")(x, q_mask)
         return leaky_relu(x)
@@ -191,6 +213,7 @@ class ResidualBlock(nn.Module):
     sigma: float
     group_norm: int
     strided: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_mask=None, s_mask=None):
@@ -205,7 +228,7 @@ class ResidualBlock(nn.Module):
 
         x = KPConv(
             mid_channels, mid_channels, self.kernel_size, self.radius, self.sigma,
-            use_bias=True, name="KPConv",
+            use_bias=True, use_pallas=self.use_pallas, name="KPConv",
         )(x, q_points, s_points, neighbor_indices)
         x = GroupNorm(self.group_norm, mid_channels, name="norm_conv")(x, q_mask)
         x = leaky_relu(x)

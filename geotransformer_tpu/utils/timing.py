@@ -58,3 +58,34 @@ def chained_ms(fn, args, perturb, reduce_out, lengths=(1, 9), repeats=3):
         return best
 
     return (fetch(l_long) - fetch(l_short)) / (l_long - l_short) * 1e3
+
+
+def fetch_diff_ms(fn, args, reduce_out, repeats=10):
+    """Milliseconds per invocation via host-fetch minus calibrated overhead.
+
+    The chained method above gives the cleanest numbers but wrapping a large
+    model in a while_loop makes the remote compiler pathologically slow, so
+    this variant times a *plain* jitted call synchronized by fetching one
+    scalar, and subtracts the RPC floor measured with a trivial executable.
+    Accurate to a couple of ms (RPC jitter); use chained_ms for small ops.
+    """
+    jfn = jax.jit(lambda *a: reduce_out(fn(*a)).astype(jnp.float32))
+    float(jfn(*args))  # compile + sync
+
+    @jax.jit
+    def trivial(x):
+        return (x + 1.0).astype(jnp.float32)
+
+    float(trivial(jnp.float32(0.0)))
+
+    def best_of(callable_):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            callable_()
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    overhead = best_of(lambda: float(trivial(jnp.float32(0.0))))
+    total = best_of(lambda: float(jfn(*args)))
+    return max(total - overhead, 0.0) * 1e3

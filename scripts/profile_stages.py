@@ -1,7 +1,7 @@
 #!/usr/bin/env python
 """Per-stage honest timing of the registration pipeline on the demo pair.
 
-Uses the chained-scan slope method (utils/timing.py) because plain
+Uses the fetch-difference method (utils/timing.py) because plain
 block_until_ready does not synchronize on this runtime.
 """
 
@@ -24,7 +24,7 @@ from geotransformer_tpu.models.backbone import KPConvFPN
 from geotransformer_tpu.models.transformer import GeometricTransformer
 from geotransformer_tpu.models.sinkhorn import LearnableLogOptimalTransport
 from geotransformer_tpu.models.lgr import local_to_global_registration
-from geotransformer_tpu.utils.timing import chained_ms
+from geotransformer_tpu.utils.timing import fetch_diff_ms
 
 
 def main():
@@ -44,13 +44,9 @@ def main():
     variables = jax.jit(lambda r, b: model.init(r, b, training=False, with_gt=False))(
         jax.random.PRNGKey(0), batch)
 
-    def perturb_feats(args, carry):
-        v, b = args
-        return v, dict(b, features=b["features"] + carry * 1e-9)
-
-    ms = chained_ms(
+    ms = fetch_diff_ms(
         lambda v, b: model.apply(v, b, training=False, with_gt=False),
-        (variables, batch), perturb_feats, lambda o: o["estimated_transform"][0, 0],
+        (variables, batch), lambda o: o["estimated_transform"][0, 0],
     )
     print(f"{'FULL forward':35s}: {ms:8.2f} ms", flush=True)
 
@@ -58,10 +54,9 @@ def main():
                    cfg.backbone.kernel_size, cfg.backbone.init_radius, cfg.backbone.init_sigma,
                    cfg.backbone.group_norm, num_stages=4, first_fine_stage=1)
     bb_vars = jax.jit(lambda r, f, b: bb.init(r, f, b))(jax.random.PRNGKey(0), batch["features"], batch)
-    ms = chained_ms(
+    ms = fetch_diff_ms(
         lambda v, f, b: bb.apply(v, f, b),
         (bb_vars, batch["features"], batch),
-        lambda args, c: (args[0], args[1] + c * 1e-9, args[2]),
         lambda o: jnp.sum(o[-1][0]),
     )
     print(f"{'backbone (KPConv FPN)':35s}: {ms:8.2f} ms", flush=True)
@@ -76,10 +71,9 @@ def main():
     rf = jnp.ones((1, cap_c, 1024)) * 0.01
     sf = jnp.ones((1, cap_c, 1024)) * 0.01
     tr_vars = jax.jit(lambda r: tr.init(r, rp, sp, rf, sf, rm, sm))(jax.random.PRNGKey(0))
-    ms = chained_ms(
+    ms = fetch_diff_ms(
         lambda v, a, b: tr.apply(v, rp, sp, a, b, rm, sm),
         (tr_vars, rf, sf),
-        lambda args, c: (args[0], args[1] + c * 1e-9, args[2]),
         lambda o: jnp.sum(o[0]),
     )
     print(f"{'geometric transformer':35s}: {ms:8.2f} ms", flush=True)
@@ -89,10 +83,9 @@ def main():
     scores = jnp.ones((p, k, k)) * 0.1
     masks = jnp.ones((p, k), dtype=bool)
     ot_vars = jax.jit(lambda r: ot.init(r, scores, masks, masks))(jax.random.PRNGKey(0))
-    ms = chained_ms(
+    ms = fetch_diff_ms(
         lambda v, s: ot.apply(v, s, masks, masks),
         (ot_vars, scores),
-        lambda args, c: (args[0], args[1] + c * 1e-9),
         lambda o: jnp.sum(o),
     )
     print(f"{'sinkhorn (100 it)':35s}: {ms:8.2f} ms", flush=True)
@@ -101,12 +94,11 @@ def main():
     rkp = jnp.asarray(rng.uniform(0, 1, (p, k, 3)), jnp.float32)
     skp = rkp + 0.01
     log_scores = jnp.zeros((p, k, k))
-    ms = chained_ms(
+    ms = fetch_diff_ms(
         lambda a, b, s: local_to_global_registration(
             a, b, masks, masks, s, k=3, acceptance_radius=0.1,
             correspondence_limit=cfg.caps.correspondence_capacity)["estimated_transform"],
         (rkp, skp, log_scores),
-        lambda args, c: (args[0] + c * 1e-9, args[1], args[2]),
         lambda o: o[0, 0],
     )
     print(f"{'LGR':35s}: {ms:8.2f} ms", flush=True)
