@@ -35,9 +35,9 @@ _AUG = 8  # lanes reserved for [s(3), |s|^2(1), padding(4)]
 
 
 def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *, num_kernel_points, c_in, sigma):
-    g = g_ref[0]  # (TM, H, AUG + C)
-    q = q_ref[0]  # (TM, AUG) — lanes [q(3), |q|^2(1), ...]
-    kp = kp_ref[0]  # (K, AUG) — lanes [kp(3), |kp|^2(1), ...]
+    g = g_ref[...]  # (TM, H, AUG + C)
+    q = q_ref[...]  # (TM, AUG) — lanes [q(3), |q|^2(1), ...]
+    kp = kp_ref[...]  # (K, AUG) — lanes [kp(3), |kp|^2(1), ...]
 
     sp = g[:, :, :3]  # (TM, H, 3)
     sq_s = g[:, :, 3]  # (TM, H)
@@ -88,7 +88,7 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *, num_kernel_points, c
             t[:, k, :], w_ref[k], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    out_ref[0] = acc / count[:, None]
+    out_ref[...] = acc / count[:, None]
 
 
 def kpconv_fused(
@@ -113,6 +113,18 @@ def kpconv_fused(
     """
     m = q_points.shape[0]
     k, c_in, c_out = weights.shape
+
+    # Pad the neighbor axis to a sublane multiple (8) with shadow indices:
+    # otherwise the (M*H, C) gather output and its (M, H, C) view have
+    # different physical layouts (H pads to the next multiple of 8) and XLA
+    # materializes a full relayout copy of the gathered block.
+    h = neighbor_indices.shape[1]
+    h_pad = -(-h // 8) * 8
+    if h_pad != h:
+        neighbor_indices = jnp.pad(
+            neighbor_indices, ((0, 0), (0, h_pad - h)),
+            constant_values=s_points.shape[0],
+        )
 
     # Combined gather: [s(3), |s|^2(1), pad(4), feats(C)] per support point.
     aug_support = jnp.concatenate(
@@ -159,27 +171,22 @@ def kpconv_fused(
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(
-                (1, tile_m, g.shape[1], g.shape[2]),
-                lambda i: (i, 0, 0, 0),
+                (tile_m, g.shape[1], g.shape[2]),
+                lambda i: (i, 0, 0),
                 memory_space=pltpu.VMEM,
             ),
-            pl.BlockSpec((1, tile_m, _AUG), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, k, _AUG), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, _AUG), lambda i: (i, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, _AUG), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (1, tile_m, c_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (tile_m, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((num_tiles, tile_m, c_out), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((pad_m, c_out), jnp.float32),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(
-        g.reshape(num_tiles, tile_m, g.shape[1], g.shape[2]),
-        q_aug.reshape(num_tiles, tile_m, _AUG),
-        kp_aug[None],
-        weights,
-    )
-    out = out.reshape(pad_m, c_out)[:m]
+    )(g, q_aug, kp_aug, weights)
+    out = out[:m]
     if bias is not None:
         out = out + bias
     return out

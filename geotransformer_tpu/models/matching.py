@@ -65,7 +65,12 @@ def superpoint_matching(
         matching_scores = ref_scores * src_scores
 
     flat = jnp.where(pair_masks, matching_scores, -1.0).reshape(-1)
-    corr_scores, corr_indices = jax.lax.top_k(flat, num_correspondences)
+    # lax.top_k over the flattened (M*N,) matrix lowers to a full sort on
+    # TPU (~4ms at 512x512); approx_max_k with recall_target=1.0 is exact
+    # and uses the PartialReduce fast path.
+    corr_scores, corr_indices = jax.lax.approx_max_k(
+        flat, num_correspondences, recall_target=1.0
+    )
     corr_masks = corr_scores > -1.0
     corr_scores = jnp.where(corr_masks, corr_scores, 0.0)
     ref_corr_indices = corr_indices // n

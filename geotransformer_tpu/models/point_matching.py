@@ -64,7 +64,9 @@ def point_matching(
 
     num_patches, num_k = score_mat.shape[0], score_mat.shape[1]
     flat = jnp.where(corr_mat, score_mat, -1.0).reshape(-1)
-    top_scores, top_idx = jax.lax.top_k(flat, correspondence_limit)
+    top_scores, top_idx = jax.lax.approx_max_k(
+        flat, correspondence_limit, recall_target=1.0
+    )
     corr_masks = top_scores > 0.0
     corr_scores = jnp.where(corr_masks, top_scores, 0.0)
     p_idx = top_idx // (num_k * num_k)

@@ -59,7 +59,12 @@ def masked_topk(scores, k, mask=None, largest=True):
     work = scores if largest else -scores
     if mask is not None:
         work = jnp.where(mask, work, neg_inf)
-    top_vals, top_idx = jax.lax.top_k(work, k)
+    if scores.shape[-1] >= 16384:
+        # For large N, lax.top_k lowers to a full sort on TPU; approx_max_k
+        # with recall_target=1.0 is exact and uses the fast PartialReduce op.
+        top_vals, top_idx = jax.lax.approx_max_k(work, k, recall_target=1.0)
+    else:
+        top_vals, top_idx = jax.lax.top_k(work, k)
     valid = top_vals > neg_inf
     values = jnp.take_along_axis(scores, top_idx, axis=-1)
     return values, top_idx, valid

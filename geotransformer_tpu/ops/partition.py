@@ -61,21 +61,37 @@ def point_to_node_partition(
     if node_masks_in is not None:
         node_masks = jnp.logical_and(node_masks, node_masks_in)
 
-    # Restrict each node's candidate set to the points it owns
-    # (reference fixed-bug variant, pointcloud_partition.py:90-93).
-    point_indices = jnp.arange(num_points)
-    matching = point_to_node[None, :] == jnp.arange(num_nodes)[:, None]  # (M, N)
+    # Per-node KNN restricted to owned points (reference fixed-bug variant,
+    # pointcloud_partition.py:90-93). Ownership partitions the points, so
+    # this is a segment operation, not an (M, N) masked top-k (which lowers
+    # to a ~2ms sort per cloud at 3DMatch scale): sort points once by
+    # (owner, distance-to-owner), rank within each segment, and scatter the
+    # first `point_limit` of each segment into the patch table.
+    d_own = jnp.min(sq_dist_mat, axis=0)  # (N,) distance to owning node
+    owner = point_to_node
+    invalid_point = d_own >= _BIG  # masked points / all-masked nodes
     if point_masks is not None:
-        matching = jnp.logical_and(matching, point_masks[None, :])
-    masked_dists = jnp.where(matching, sq_dist_mat, _BIG)
+        invalid_point = jnp.logical_or(invalid_point, ~point_masks)
+    owner = jnp.where(invalid_point, num_nodes, owner)  # sort junk last
 
-    neg_top, node_knn_indices = jax.lax.top_k(-masked_dists, point_limit)  # (M, K)
-    node_knn_node_indices = index_select(point_to_node, node_knn_indices, axis=0)
-    node_indices = jnp.arange(num_nodes)[:, None]
-    node_knn_masks = jnp.logical_and(
-        node_knn_node_indices == node_indices, -neg_top < _BIG
+    point_indices = jnp.arange(num_points, dtype=owner.dtype)
+    sorted_owner, _, sorted_idx = jax.lax.sort(
+        (owner, d_own, point_indices), num_keys=2, is_stable=True
     )
-    node_knn_indices = jnp.where(node_knn_masks, node_knn_indices, num_points)
+    seg_start = sorted_owner != jnp.concatenate(
+        [jnp.full((1,), -1, sorted_owner.dtype), sorted_owner[:-1]]
+    )
+    start_run = jax.lax.cummax(jnp.where(seg_start, point_indices, 0))
+    rank = point_indices - start_run  # position within the owner segment
+    valid = jnp.logical_and(rank < point_limit, sorted_owner < num_nodes)
+
+    table = jnp.full((num_nodes + 1, point_limit), num_points, dtype=owner.dtype)
+    table = table.at[
+        jnp.where(valid, sorted_owner, num_nodes),
+        jnp.where(valid, rank, 0),
+    ].set(jnp.where(valid, sorted_idx, num_points), mode="drop")
+    node_knn_indices = table[:num_nodes]
+    node_knn_masks = node_knn_indices != num_points
 
     return point_to_node, node_masks, node_knn_indices, node_knn_masks
 
@@ -88,5 +104,5 @@ def knn_partition(points, nodes, k, point_masks=None):
     sq_dist_mat = pairwise_distance(nodes, points)
     if point_masks is not None:
         sq_dist_mat = jnp.where(point_masks[None, :], sq_dist_mat, _BIG)
-    neg_top, knn_indices = jax.lax.top_k(-sq_dist_mat, k)
+    neg_top, knn_indices = jax.lax.approx_max_k(-sq_dist_mat, k, recall_target=1.0)
     return jnp.sqrt(jnp.maximum(-neg_top, 0.0)), knn_indices
