@@ -1,0 +1,139 @@
+r"""Pallas TPU kernel: fused geometric-structure-embedding producer.
+
+The XLA path of :class:`GeometricStructureEmbedding` materializes the
+sinusoidal bases of the distance map and of the k triplet-angle maps —
+(B, N, N, C) and (B, N, N, k, C) tensors (~1.9 GB of padded HBM traffic for
+the 3DMatch config) — before projecting and max-reducing them. This kernel
+receives only the *indices* (the (N, N) distance map and (k, N, N) angle
+maps, a few MB) and produces the final (N, N, C) embedding tile-by-tile:
+bases live in VMEM only.
+
+    e_d = sin/cos(d ⊗ ω) @ W_d
+    e_a = max_k  sin/cos(a_k ⊗ ω) @ W_a
+    out = e_d + b_d + e_a + b_a
+
+The reference embedding interleaves [sin0, cos0, sin1, ...]
+(`/root/reference/geotransformer/modules/transformer/positional_embedding.py:18-34`);
+instead of interleaving the basis in-kernel (a lane-shuffle Mosaic cannot
+reshape), the weight matrices are split outside into their sin-row and
+cos-row halves, so the kernel computes two plain matmuls per embedding.
+"""
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _gse_kernel(d_ref, a_ref, div_ref, wds_ref, wdc_ref, was_ref, wac_ref,
+                b_ref, out_ref, *, angle_k):
+    tn, tm = d_ref.shape
+    c_out = out_ref.shape[-1]
+    div = div_ref[...]  # (1, F)
+
+    def embed(idx):
+        # idx: (TN, TM) -> sin/cos bases flattened to (TN*TM, F).
+        # bf16 bases: matches the precision XLA picks for these matmuls on
+        # TPU (the projections are 4x faster on the MXU in bf16; basis
+        # values are in [-1, 1] so bf16 rounding is ~0.4% of unit scale).
+        om = idx[:, :, None] * div[0][None, None, :]  # (TN, TM, F)
+        return (
+            jnp.sin(om).reshape(tn * tm, -1).astype(jnp.bfloat16),
+            jnp.cos(om).reshape(tn * tm, -1).astype(jnp.bfloat16),
+        )
+
+    def proj(sin_b, cos_b, ws, wc):
+        return jax.lax.dot_general(
+            sin_b, ws, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            cos_b, wc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    sin_d, cos_d = embed(d_ref[...])
+    acc = proj(sin_d, cos_d, wds_ref[...], wdc_ref[...])  # (TN*TM, C)
+
+    a_max = jnp.full((tn * tm, c_out), -jnp.inf, dtype=jnp.float32)
+    for k in range(angle_k):
+        sin_a, cos_a = embed(a_ref[k])
+        a_max = jnp.maximum(a_max, proj(sin_a, cos_a, was_ref[...], wac_ref[...]))
+
+    out = acc + a_max + b_ref[...]  # b = b_d + b_a, (1, C)
+    out_ref[...] = out.reshape(tn, tm, c_out)
+
+
+def gse_embedding(
+    d_indices, a_indices, w_d, b_d, w_a, b_a, hidden_dim,
+    tile_n=64, tile_m=128, interpret=None,
+):
+    """Fused GSE embedding: sinusoidal-embed, project, and max-reduce.
+
+    Equivalent to
+      proj_d(sinusoidal(d_indices)) + max_k proj_a(sinusoidal(a_indices))
+    with the interleaved sin/cos layout of ``ops.embedding.sinusoidal_embedding``.
+
+    Args:
+        d_indices: (N, M) distance indices.
+        a_indices: (K, N, M) triplet angle indices (K leading — keeps the
+            lane dimension wide; a trailing K would pad 3 lanes to 128).
+        w_d / b_d: (C, C), (C,) distance projection parameters.
+        w_a / b_a: (C, C), (C,) angle projection parameters.
+        hidden_dim: C (even).
+
+    Returns:
+        (N, M, C) float32 embeddings.
+    """
+    n, m = d_indices.shape
+    angle_k = a_indices.shape[0]
+    c = hidden_dim
+
+    div_indices = np.arange(0, c, 2, dtype=np.float32)
+    div_term = jnp.asarray(
+        np.exp(div_indices * (-np.log(10000.0) / c))[None, :]
+    )  # (1, F)
+
+    # interleaved rows [sin0, cos0, sin1, ...] -> separate sin/cos halves
+    bf = jnp.bfloat16
+    w_d_sin, w_d_cos = w_d[0::2].astype(bf), w_d[1::2].astype(bf)  # (F, C)
+    w_a_sin, w_a_cos = w_a[0::2].astype(bf), w_a[1::2].astype(bf)
+    bias = (b_d + b_a)[None, :]  # (1, C)
+
+    pad_n = -(-n // tile_n) * tile_n
+    pad_m = -(-m // tile_m) * tile_m
+    if pad_n != n or pad_m != m:
+        d_indices = jnp.pad(d_indices, ((0, pad_n - n), (0, pad_m - m)))
+        a_indices = jnp.pad(
+            a_indices, ((0, 0), (0, pad_n - n), (0, pad_m - m))
+        )
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    kernel = functools.partial(_gse_kernel, angle_k=angle_k)
+    out = pl.pallas_call(
+        kernel,
+        grid=(pad_n // tile_n, pad_m // tile_m),
+        in_specs=[
+            pl.BlockSpec((tile_n, tile_m), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (angle_k, tile_n, tile_m), lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (tile_n, tile_m, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((pad_n, pad_m, c), jnp.float32),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(d_indices, a_indices, div_term, w_d_sin, w_d_cos, w_a_sin, w_a_cos, bias)
+    return out[:n, :m]

@@ -32,6 +32,7 @@ class GeometricStructureEmbedding(nn.Module):
     sigma_a: float
     angle_k: int
     reduction_a: str = "max"
+    use_pallas: bool = False  # fused embed+proj+max kernel (forward-only)
 
     def get_embedding_indices(self, points, masks=None):
         """Distance indices (B, N, N) and angle indices (B, N, N, k).
@@ -68,6 +69,28 @@ class GeometricStructureEmbedding(nn.Module):
         d_indices, a_indices = self.get_embedding_indices(points, masks)
         d_indices = jax.lax.stop_gradient(d_indices)
         a_indices = jax.lax.stop_gradient(a_indices)
+
+        if self.use_pallas and self.reduction_a == "max":
+            from geotransformer_tpu.kernels.gse import gse_embedding
+
+            # The fused kernel needs the raw projection matrices; recover
+            # them from the Dense submodules (same names as the XLA path, so
+            # checkpoints are interchangeable) by probing with I and 0 —
+            # exact in float arithmetic and constant-foldable under jit.
+            proj_d = nn.Dense(self.hidden_dim, name="proj_d")
+            proj_a = nn.Dense(self.hidden_dim, name="proj_a")
+            eye = jnp.eye(self.hidden_dim, dtype=jnp.float32)
+            zero = jnp.zeros((1, self.hidden_dim), dtype=jnp.float32)
+            b_d = proj_d(zero)[0]
+            w_d = proj_d(eye) - b_d[None, :]
+            b_a = proj_a(zero)[0]
+            w_a = proj_a(eye) - b_a[None, :]
+            a_t = jnp.transpose(a_indices, (0, 3, 1, 2))  # (B, k, N, N)
+            return jax.vmap(
+                lambda d, a: gse_embedding(
+                    d, a, w_d, b_d, w_a, b_a, self.hidden_dim
+                )
+            )(d_indices, a_t)
 
         d_embeddings = sinusoidal_embedding(d_indices, self.hidden_dim)
         d_embeddings = nn.Dense(self.hidden_dim, name="proj_d")(d_embeddings)
@@ -352,6 +375,7 @@ class GeometricTransformer(nn.Module):
     angle_k: int
     reduction_a: str = "max"
     activation_fn: str = "ReLU"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, ref_points, src_points, ref_feats, src_feats,
@@ -359,7 +383,7 @@ class GeometricTransformer(nn.Module):
                  src_masks: Optional[jnp.ndarray] = None):
         embedding = GeometricStructureEmbedding(
             self.hidden_dim, self.sigma_d, self.sigma_a, self.angle_k,
-            self.reduction_a, name="embedding",
+            self.reduction_a, use_pallas=self.use_pallas, name="embedding",
         )
         ref_embeddings = embedding(ref_points, ref_masks)
         src_embeddings = embedding(src_points, src_masks)
