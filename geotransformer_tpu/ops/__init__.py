@@ -1,6 +1,11 @@
 from geotransformer_tpu.ops.pairwise_distance import pairwise_distance
 from geotransformer_tpu.ops.gather import gather_with_shadow, index_select, masked_topk
-from geotransformer_tpu.ops.partition import point_to_node_partition, knn_partition
+from geotransformer_tpu.ops.partition import (
+    point_to_node_partition,
+    knn_partition,
+    get_point_to_node_indices,
+    ball_query_partition,
+)
 from geotransformer_tpu.ops.se3 import (
     apply_transform,
     apply_rotation,

@@ -106,3 +106,50 @@ def knn_partition(points, nodes, k, point_masks=None):
         sq_dist_mat = jnp.where(point_masks[None, :], sq_dist_mat, _BIG)
     neg_top, knn_indices = jax.lax.approx_max_k(-sq_dist_mat, k, recall_target=1.0)
     return jnp.sqrt(jnp.maximum(-neg_top, 0.0)), knn_indices
+
+
+def get_point_to_node_indices(points, nodes, point_masks=None, return_counts=False):
+    """Nearest-node index per point (reference pointcloud_partition.py:9-31).
+
+    Args:
+        points: (N, 3).
+        nodes: (M, 3).
+        point_masks: optional (N,) bool; masked points are excluded from
+            the counts (their returned index is still the nearest node).
+        return_counts: also return the number of points owned by each node.
+
+    Returns:
+        indices (N,) int32 [, node_sizes (M,) int32].
+    """
+    sq_dist_mat = pairwise_distance(points, nodes)  # (N, M)
+    indices = jnp.argmin(sq_dist_mat, axis=1).astype(jnp.int32)
+    if not return_counts:
+        return indices
+    weights = (
+        point_masks.astype(jnp.int32)
+        if point_masks is not None
+        else jnp.ones(points.shape[0], jnp.int32)
+    )
+    node_sizes = jax.ops.segment_sum(
+        weights, indices, num_segments=nodes.shape[0]
+    ).astype(jnp.int32)
+    return indices, node_sizes
+
+
+def ball_query_partition(
+    points, nodes, radius, point_limit, point_masks=None, return_count=False
+):
+    """Fixed-capacity ball query per node (reference pointcloud_partition.py:159-175):
+    the `point_limit` nearest points, truncated to those within `radius`;
+    empty slots hold the sentinel index == num_points.
+
+    Returns (knn_indices (M, K), knn_masks (M, K) [, node_sizes (M,)]).
+    """
+    knn_distances, knn_indices = knn_partition(
+        points, nodes, point_limit, point_masks=point_masks
+    )
+    knn_masks = knn_distances < radius
+    knn_indices = jnp.where(knn_masks, knn_indices, points.shape[0])
+    if return_count:
+        return knn_indices, knn_masks, jnp.sum(knn_masks, axis=1)
+    return knn_indices, knn_masks

@@ -190,3 +190,49 @@ class TestPartition:
         padded = np.where(np.asarray(km2)[:10], np.asarray(ki2)[:10], -1)
         np.testing.assert_array_equal(ours, padded)
         assert not np.asarray(km2)[10:].any()
+
+
+class TestPartitionVariants:
+    def test_point_to_node_indices_matches_reference(self, refmodules, rng):
+        import torch
+        from geotransformer.modules.ops.pointcloud_partition import (
+            get_point_to_node_indices as ref_fn,
+        )
+        from geotransformer_tpu.ops.partition import get_point_to_node_indices
+
+        points = rng.normal(size=(150, 3)).astype(np.float32)
+        nodes = rng.normal(size=(13, 3)).astype(np.float32)
+        idx, sizes = get_point_to_node_indices(
+            jnp.asarray(points), jnp.asarray(nodes), return_counts=True
+        )
+        r_idx, r_sizes = ref_fn(
+            torch.from_numpy(points), torch.from_numpy(nodes), return_counts=True
+        )
+        np.testing.assert_array_equal(np.asarray(idx), r_idx.numpy())
+        np.testing.assert_array_equal(np.asarray(sizes), r_sizes.numpy())
+
+    def test_ball_query_matches_reference(self, refmodules, rng):
+        import torch
+        from geotransformer.modules.ops.pointcloud_partition import (
+            ball_query_partition as ref_fn,
+        )
+        from geotransformer_tpu.ops.partition import ball_query_partition
+
+        points = rng.normal(size=(150, 3)).astype(np.float32)
+        nodes = rng.normal(size=(13, 3)).astype(np.float32)
+        idx, masks, sizes = ball_query_partition(
+            jnp.asarray(points), jnp.asarray(nodes), radius=0.8,
+            point_limit=24, return_count=True,
+        )
+        r_idx, r_masks, r_sizes = ref_fn(
+            torch.from_numpy(points), torch.from_numpy(nodes), 0.8, 24,
+            return_count=True,
+        )
+        np.testing.assert_array_equal(np.asarray(masks), r_masks.numpy())
+        np.testing.assert_array_equal(np.asarray(sizes), r_sizes.numpy())
+        # same set of in-radius points per node (tie order may differ)
+        ours, theirs = np.asarray(idx), r_idx.numpy()
+        for m in range(nodes.shape[0]):
+            assert set(ours[m][np.asarray(masks)[m]].tolist()) == set(
+                theirs[m][r_masks[m].numpy()].tolist()
+            )
