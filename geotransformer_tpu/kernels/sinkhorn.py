@@ -97,6 +97,7 @@ def sinkhorn_log_iterations(padded_scores, log_mu, log_nu, num_iterations):
             (bp, m1p, n1p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
         ),
         out_shape=jax.ShapeDtypeStruct((pp, m1p, n1p), padded_scores.dtype),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.devices()[0].platform != "tpu",
     )(scores_p, log_mu_col, log_nu_row)
     return out[:p, :m1, :n1]
