@@ -157,3 +157,166 @@ def gse_embedding(
         interpret=interpret,
     )(d_indices, a_indices, div_term, w_d_sin, w_d_cos, w_a_sin, w_a_cos, bias)
     return out[:n, :m]
+
+
+def _gse_bwd_kernel(d_ref, a_ref, de_ref, div_ref, was_ref, wac_ref,
+                    dwds_ref, dwdc_ref, dwas_ref, dwac_ref, db_ref, *, angle_k):
+    """Accumulate parameter cotangents over the grid (recompute, no residuals).
+
+    For the distance branch dW = basis^T dE directly; for the angle branch
+    the forward max over k routes each (n, m, c) cotangent to the first k
+    attaining the elementwise max, recomputed here.
+    """
+    tn, tm = d_ref.shape
+    div = div_ref[...]
+    de = de_ref[...]  # (TN, TM, C) f32
+
+    def embed(idx):
+        om = idx[:, None, :] * div[0][None, :, None]  # (TN, F, TM)
+        s, c = _fast_sincos(om)
+        return s.astype(jnp.bfloat16), c.astype(jnp.bfloat16)
+
+    def proj(sin_b, cos_b, ws, wc):
+        return jax.lax.dot_general(
+            sin_b, ws, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ) + jax.lax.dot_general(
+            cos_b, wc, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    def wgrad(basis, cot):
+        # (TN, F, TM) x (TN, TM, C) -> sum_n (F, C)
+        per_n = jax.lax.dot_general(
+            basis, cot.astype(jnp.bfloat16),
+            (((2,), (1,)), ((0,), (0,))),
+            preferred_element_type=jnp.float32,
+        )  # (TN, F, C)
+        return jnp.sum(per_n, axis=0)
+
+    # distance branch
+    sin_d, cos_d = embed(d_ref[...])
+    dwds = wgrad(sin_d, de)
+    dwdc = wgrad(cos_d, de)
+
+    # angle branch: recompute e_k and the max, route dE to the first argmax
+    bases = []
+    e_max = jnp.full(de.shape, -jnp.inf, dtype=jnp.float32)
+    for k in range(angle_k):
+        sin_a, cos_a = embed(a_ref[k])
+        bases.append((sin_a, cos_a))
+        e_max = jnp.maximum(e_max, proj(sin_a, cos_a, was_ref[...], wac_ref[...]))
+
+    dwas = jnp.zeros_like(dwds)
+    dwac = jnp.zeros_like(dwdc)
+    taken = jnp.zeros(de.shape, dtype=jnp.bool_)
+    for k in range(angle_k):
+        sin_a, cos_a = bases[k]
+        e_k = proj(sin_a, cos_a, was_ref[...], wac_ref[...])
+        mask = jnp.logical_and(e_k >= e_max, jnp.logical_not(taken))
+        taken = jnp.logical_or(taken, mask)
+        cot = jnp.where(mask, de, 0.0)
+        dwas = dwas + wgrad(sin_a, cot)
+        dwac = dwac + wgrad(cos_a, cot)
+
+    db = jnp.sum(de, axis=(0, 1), keepdims=False)[None, :]  # (1, C)
+
+    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
+    def _init():
+        dwds_ref[...] = jnp.zeros_like(dwds_ref)
+        dwdc_ref[...] = jnp.zeros_like(dwdc_ref)
+        dwas_ref[...] = jnp.zeros_like(dwas_ref)
+        dwac_ref[...] = jnp.zeros_like(dwac_ref)
+        db_ref[...] = jnp.zeros_like(db_ref)
+
+    dwds_ref[...] += dwds
+    dwdc_ref[...] += dwdc
+    dwas_ref[...] += dwas
+    dwac_ref[...] += dwac
+    db_ref[...] += db
+
+
+def _gse_bwd(d_indices, a_indices, w_a, hidden_dim, de, tile_n=32, tile_m=128,
+             interpret=None):
+    """Parameter cotangents (dW_d, db_d, dW_a, db_a) for gse_embedding."""
+    n, m = d_indices.shape
+    angle_k = a_indices.shape[0]
+    c = hidden_dim
+    f = c // 2
+
+    div_indices = np.arange(0, c, 2, dtype=np.float32)
+    div_term = jnp.asarray(
+        np.exp(div_indices * (-np.log(10000.0) / c))[None, :]
+    )
+    bf = jnp.bfloat16
+    w_a_sin, w_a_cos = w_a[0::2].astype(bf), w_a[1::2].astype(bf)
+
+    pad_n = -(-n // tile_n) * tile_n
+    pad_m = -(-m // tile_m) * tile_m
+    if pad_n != n or pad_m != m:
+        d_indices = jnp.pad(d_indices, ((0, pad_n - n), (0, pad_m - m)))
+        a_indices = jnp.pad(a_indices, ((0, 0), (0, pad_n - n), (0, pad_m - m)))
+        de = jnp.pad(de, ((0, pad_n - n), (0, pad_m - m), (0, 0)))
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    kernel = functools.partial(_gse_bwd_kernel, angle_k=angle_k)
+    acc_spec = pl.BlockSpec((f, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
+    dwds, dwdc, dwas, dwac, db = pl.pallas_call(
+        kernel,
+        grid=(pad_n // tile_n, pad_m // tile_m),
+        in_specs=[
+            pl.BlockSpec((tile_n, tile_m), lambda i, j: (i, j), memory_space=pltpu.VMEM),
+            pl.BlockSpec(
+                (angle_k, tile_n, tile_m), lambda i, j: (0, i, j),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (tile_n, tile_m, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
+            ),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            acc_spec, acc_spec, acc_spec, acc_spec,
+            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((f, c), jnp.float32),
+            jax.ShapeDtypeStruct((f, c), jnp.float32),
+            jax.ShapeDtypeStruct((f, c), jnp.float32),
+            jax.ShapeDtypeStruct((f, c), jnp.float32),
+            jax.ShapeDtypeStruct((1, c), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(d_indices, a_indices, de, div_term, w_a_sin, w_a_cos)
+
+    # re-interleave the sin/cos row halves
+    dw_d = jnp.zeros((c, c), jnp.float32).at[0::2].set(dwds).at[1::2].set(dwdc)
+    dw_a = jnp.zeros((c, c), jnp.float32).at[0::2].set(dwas).at[1::2].set(dwac)
+    db = db[0]
+    return dw_d, db, dw_a, db
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def gse_embedding_diff(d_indices, a_indices, w_d, b_d, w_a, b_a, hidden_dim):
+    """Differentiable fused GSE embedding (gradients for the projection
+    parameters only; the index maps are treated as constants, matching the
+    reference's no_grad embedding indices)."""
+    return gse_embedding(d_indices, a_indices, w_d, b_d, w_a, b_a, hidden_dim)
+
+
+def _gse_diff_fwd(d_indices, a_indices, w_d, b_d, w_a, b_a, hidden_dim):
+    out = gse_embedding(d_indices, a_indices, w_d, b_d, w_a, b_a, hidden_dim)
+    return out, (d_indices, a_indices, w_a)
+
+
+def _gse_diff_bwd(hidden_dim, res, de):
+    d_indices, a_indices, w_a = res
+    dw_d, db_d, dw_a, db_a = _gse_bwd(d_indices, a_indices, w_a, hidden_dim, de)
+    return (None, None, dw_d, db_d, dw_a, db_a)
+
+
+gse_embedding_diff.defvjp(_gse_diff_fwd, _gse_diff_bwd)

@@ -78,8 +78,11 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *, num_kernel_points, c
     # t[t,k,c] = sum_h influence[t,h,k] * nf[t,h,c]. The (K*C) lane-merge
     # reshape is unsupported, so the weight contraction is K static-sliced
     # matmuls — each temp is only (TM, C_out).
+    # bf16 inputs for the MXU (influence in [0,1], features O(1) post-GN;
+    # ~0.4% rounding — the precision XLA picks for f32 matmuls by default).
     t = jax.lax.dot_general(
-        influence, nf, (((1,), (1,)), ((0,), (0,))),
+        influence.astype(jnp.bfloat16), nf.astype(jnp.bfloat16),
+        (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (TM, K, C)
     acc = jnp.zeros((tm, w_ref.shape[2]), dtype=jnp.float32)

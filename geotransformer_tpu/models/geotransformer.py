@@ -132,7 +132,7 @@ class GeoTransformer(nn.Module):
             cfg.geotransformer.sigma_a,
             cfg.geotransformer.angle_k,
             reduction_a=cfg.geotransformer.reduction_a,
-            use_pallas=(on_tpu and not training),
+            use_pallas=on_tpu,  # differentiable (custom_vjp recompute bwd)
             name="transformer",
         )(
             ref_points_c[None], src_points_c[None],

@@ -71,7 +71,7 @@ class GeometricStructureEmbedding(nn.Module):
         a_indices = jax.lax.stop_gradient(a_indices)
 
         if self.use_pallas and self.reduction_a == "max":
-            from geotransformer_tpu.kernels.gse import gse_embedding
+            from geotransformer_tpu.kernels.gse import gse_embedding_diff
 
             # The fused kernel needs the raw projection matrices; recover
             # them from the Dense submodules (same names as the XLA path, so
@@ -87,9 +87,10 @@ class GeometricStructureEmbedding(nn.Module):
             w_a = proj_a(eye) - b_a[None, :]
             a_t = jnp.transpose(a_indices, (0, 3, 1, 2))  # (B, k, N, N)
             return jax.vmap(
-                lambda d, a: gse_embedding(
+                lambda d, a: gse_embedding_diff(
                     d, a, w_d, b_d, w_a, b_a, self.hidden_dim
-                )
+                ),
+                in_axes=(0, 0),
             )(d_indices, a_t)
 
         d_embeddings = sinusoidal_embedding(d_indices, self.hidden_dim)

@@ -39,3 +39,32 @@ class TestGSEFused:
         va = a.init(jax.random.PRNGKey(0), points)
         vb = b.init(jax.random.PRNGKey(0), points)
         assert jax.tree.structure(va) == jax.tree.structure(vb)
+
+
+class TestGSEGradients:
+    def test_param_grads_match_xla(self, rng):
+        points = jnp.asarray(rng.uniform(0, 1, (1, 70, 3)), jnp.float32)
+        cot = jnp.asarray(rng.normal(size=(1, 70, 70, 64)), jnp.float32)
+        xla = GeometricStructureEmbedding(64, 0.2, 15.0, 3)
+        fused = GeometricStructureEmbedding(64, 0.2, 15.0, 3, use_pallas=True)
+        variables = xla.init(jax.random.PRNGKey(0), points)
+
+        def loss(mod):
+            return lambda params: jnp.sum(
+                mod.apply({**variables, "params": params}, points) * cot
+            )
+
+        g_xla = jax.grad(loss(xla))(variables["params"])
+        g_fused = jax.grad(loss(fused))(variables["params"])
+        for name in ("proj_d", "proj_a"):
+            for leaf in ("kernel", "bias"):
+                a = np.asarray(g_xla[name][leaf])
+                b = np.asarray(g_fused[name][leaf])
+                scale = np.abs(a).max() + 1e-8
+                # atol 5e-2: the angle branch max is computed from bf16
+                # bases, so near-ties can route a cotangent to a different k
+                # than the f32 XLA max — a subgradient choice, ~1% of slots.
+                np.testing.assert_allclose(
+                    b / scale, a / scale, atol=5e-2,
+                    err_msg=f"{name}/{leaf}",
+                )
