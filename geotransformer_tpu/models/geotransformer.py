@@ -248,6 +248,9 @@ class GeoTransformer(nn.Module):
             global_scores=node_corr_scores,
             correspondence_threshold=cfg.fine_matching.correspondence_threshold,
             correspondence_limit=corr_capacity,
+            # branch-free quaternion Kabsch on TPU (jnp.linalg.svd lowers to
+            # a serial while-loop Jacobi sweep, ~1.2ms of latency)
+            procrustes_method="quat" if on_tpu else "svd",
             num_refinement_steps=cfg.fine_matching.num_refinement_steps,
             patch_masks=node_corr_masks,
         )

@@ -72,7 +72,9 @@ def compute_correspondence_matrix(
     return jnp.logical_and(corr_mat, mask_mat)
 
 
-def procrustes_from_pair_weights(ref_knn_points, src_knn_points, weights, eps=1e-5):
+def procrustes_from_pair_weights(
+    ref_knn_points, src_knn_points, weights, eps=1e-5, method="svd"
+):
     """Batched weighted Procrustes from a (P, K, K) pair-weight matrix.
 
     weights[p, i, j] weighs the pair (ref point i, src point j) of patch p.
@@ -95,13 +97,20 @@ def procrustes_from_pair_weights(ref_knn_points, src_knn_points, weights, eps=1e
         "pjc,pij,pid->pcd", src_centered, wn, ref_centered,
         precision=jax.lax.Precision.HIGHEST,
     )  # (P, 3, 3)
-    U, _, Vh = jnp.linalg.svd(H)
-    V = jnp.swapaxes(Vh, -1, -2)
-    Ut = jnp.swapaxes(U, -1, -2)
-    det = jnp.linalg.det(jnp.einsum("pcd,pde->pce", V, Ut))
-    sign_fix = jnp.broadcast_to(jnp.eye(3, dtype=H.dtype), H.shape)
-    sign_fix = sign_fix.at[:, 2, 2].set(jnp.sign(det))
-    R = jnp.einsum("pcd,pde,pef->pcf", V, sign_fix, Ut)
+    if method == "quat":
+        from geotransformer_tpu.models.procrustes import (
+            _rotation_from_covariance_quat,
+        )
+
+        R = _rotation_from_covariance_quat(H)
+    else:
+        U, _, Vh = jnp.linalg.svd(H)
+        V = jnp.swapaxes(Vh, -1, -2)
+        Ut = jnp.swapaxes(U, -1, -2)
+        det = jnp.linalg.det(jnp.einsum("pcd,pde->pce", V, Ut))
+        sign_fix = jnp.broadcast_to(jnp.eye(3, dtype=H.dtype), H.shape)
+        sign_fix = sign_fix.at[:, 2, 2].set(jnp.sign(det))
+        R = jnp.einsum("pcd,pde,pef->pcf", V, sign_fix, Ut)
     t = ref_centroid - jnp.einsum("pcd,pd->pc", R, src_centroid)
     return get_transform_from_rotation_translation(R, t)
 
@@ -124,6 +133,7 @@ def local_to_global_registration(
     correspondence_limit=2048,
     num_refinement_steps=5,
     patch_masks=None,
+    procrustes_method="svd",
 ):
     """Full LGR: dense matching -> per-patch hypotheses -> global refinement.
 
@@ -177,7 +187,7 @@ def local_to_global_registration(
     corr_counts = jnp.sum(corr_mat, axis=(1, 2))  # (P,)
     hypo_valid = corr_counts >= correspondence_threshold
     hypo_transforms = procrustes_from_pair_weights(
-        ref_knn_points, src_knn_points, score_mat
+        ref_knn_points, src_knn_points, score_mat, method=procrustes_method
     )  # (P, 4, 4)
 
     aligned = apply_transform(src_corr_points[None, :, :], hypo_transforms)  # (P, C, 3)
@@ -190,7 +200,9 @@ def local_to_global_registration(
 
     # ---- degenerate fallback: no valid patch -> all-correspondence fit ----
     has_patches = jnp.any(hypo_valid)
-    fallback_transform = _weighted_fit(ref_corr_points, src_corr_points, corr_scores)
+    fallback_transform = _weighted_fit(
+        ref_corr_points, src_corr_points, corr_scores, method=procrustes_method
+    )
     fallback_res = jnp.linalg.norm(
         ref_corr_points - apply_transform(src_corr_points, fallback_transform), axis=-1
     )
@@ -200,7 +212,9 @@ def local_to_global_registration(
     cur_scores = jnp.where(has_patches, best_scores, fallback_scores)
 
     # ---- global refinement -------------------------------------------------
-    estimated_transform = _weighted_fit(ref_corr_points, src_corr_points, cur_scores)
+    estimated_transform = _weighted_fit(
+        ref_corr_points, src_corr_points, cur_scores, method=procrustes_method
+    )
     for _ in range(num_refinement_steps - 1):
         res = jnp.linalg.norm(
             ref_corr_points - apply_transform(src_corr_points, estimated_transform),
@@ -209,7 +223,9 @@ def local_to_global_registration(
         cur_scores = corr_scores * jnp.logical_and(
             res < acceptance_radius, corr_masks
         ).astype(corr_scores.dtype)
-        estimated_transform = _weighted_fit(ref_corr_points, src_corr_points, cur_scores)
+        estimated_transform = _weighted_fit(
+            ref_corr_points, src_corr_points, cur_scores, method=procrustes_method
+        )
 
     return {
         "ref_corr_points": ref_corr_points,
@@ -220,10 +236,11 @@ def local_to_global_registration(
     }
 
 
-def _weighted_fit(ref_points, src_points, weights):
+def _weighted_fit(ref_points, src_points, weights, method="svd"):
     """Single weighted Procrustes src -> ref returning (4, 4)."""
     from geotransformer_tpu.models.procrustes import weighted_procrustes
 
     return weighted_procrustes(
-        src_points, ref_points, weights=weights, return_transform=True
+        src_points, ref_points, weights=weights, return_transform=True,
+        method=method,
     )

@@ -128,3 +128,34 @@ class TestRansac:
         est = registration_with_ransac_from_correspondences(src, ref)
         assert est.shape == (4, 4)
         np.testing.assert_allclose(est[:3, 3], [0.5, 0, 0], atol=1e-5)
+
+
+class TestQuaternionProcrustes:
+    """quat (TPU latency path) vs svd Kabsch on clean / noisy / planar sets."""
+
+    def test_matches_svd(self, rng):
+        import jax.numpy as jnp
+        from scipy.spatial.transform import Rotation
+        from geotransformer_tpu.models.procrustes import weighted_procrustes
+
+        B, N = 32, 40
+        R_true = Rotation.random(B, random_state=3).as_matrix().astype(np.float32)
+        t_true = rng.normal(size=(B, 3)).astype(np.float32)
+        src = rng.normal(size=(B, N, 3)).astype(np.float32)
+        for degenerate in (False, True):
+            s = src.copy()
+            if degenerate:
+                s[..., 2] = 0.0  # planar
+            ref = np.einsum("bij,bnj->bni", R_true, s) + t_true[:, None, :]
+            ref += 0.01 * rng.normal(size=ref.shape).astype(np.float32)
+            w = rng.uniform(0.1, 1.0, (B, N)).astype(np.float32)
+            Ra, ta = weighted_procrustes(
+                jnp.asarray(s), jnp.asarray(ref), jnp.asarray(w), method="svd"
+            )
+            Rb, tb = weighted_procrustes(
+                jnp.asarray(s), jnp.asarray(ref), jnp.asarray(w), method="quat"
+            )
+            np.testing.assert_allclose(np.asarray(Rb), np.asarray(Ra), atol=1e-4)
+            np.testing.assert_allclose(np.asarray(tb), np.asarray(ta), atol=1e-4)
+            dets = np.linalg.det(np.asarray(Rb))
+            np.testing.assert_allclose(dets, 1.0, atol=1e-4)
