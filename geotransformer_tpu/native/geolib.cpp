@@ -105,60 +105,116 @@ void gt_radius_neighbors(const float* q_points, const float* s_points,
   int64_t total_s = 0;
   for (int64_t b = 0; b < batch; ++b) total_s += s_lengths[b];
 
-  const double r2 = radius * radius;
+  const float r2 = static_cast<float>(radius * radius);
   int64_t q_start = 0;
   int64_t s_start = 0;
   std::vector<std::pair<float, int64_t>> cand;
+  cand.reserve(8192);
   for (int64_t b = 0; b < batch; ++b) {
     const int64_t nq = q_lengths[b];
     const int64_t ns = s_lengths[b];
     const float* q = q_points + 3 * q_start;
     const float* s = s_points + 3 * s_start;
 
-    // uniform grid over the support cloud, cell edge = radius
-    double min_c[3] = {1e30, 1e30, 1e30};
+    // Uniform grid over the support cloud, cell edge = radius, stored CSR
+    // over a DENSE cell array (hash lookups — 27 per query — dominated the
+    // sparse version). Cells hold packed (x, y, z, original index) runs so
+    // each query scans sequential memory.
+    float min_c[3] = {1e30f, 1e30f, 1e30f};
+    float max_c[3] = {-1e30f, -1e30f, -1e30f};
     for (int64_t i = 0; i < ns; ++i) {
-      for (int d = 0; d < 3; ++d) min_c[d] = std::min(min_c[d], (double)s[3 * i + d]);
-    }
-    auto cell_of = [&](const float* p) {
-      int64_t c[3];
       for (int d = 0; d < 3; ++d) {
-        c[d] = static_cast<int64_t>(std::floor((p[d] - min_c[d]) / radius));
+        min_c[d] = std::min(min_c[d], s[3 * i + d]);
+        max_c[d] = std::max(max_c[d], s[3 * i + d]);
       }
-      return std::array<int64_t, 3>{c[0], c[1], c[2]};
+    }
+    const float inv_r = static_cast<float>(1.0 / radius);
+    int64_t dims[3];
+    for (int d = 0; d < 3; ++d) {
+      dims[d] = static_cast<int64_t>(
+                    std::floor((max_c[d] - min_c[d]) * inv_r)) + 1;
+    }
+    // Degenerate extents (huge sparse scenes) could blow the dense array;
+    // coarsen the grid instead — cells just hold more candidates.
+    float cell_edge = static_cast<float>(radius);
+    float inv_cell = inv_r;
+    while (dims[0] * dims[1] * dims[2] > 8 * ns + 1024) {
+      cell_edge *= 2.0f;
+      inv_cell = 1.0f / cell_edge;
+      for (int d = 0; d < 3; ++d) {
+        dims[d] = static_cast<int64_t>(
+                      std::floor((max_c[d] - min_c[d]) * inv_cell)) + 1;
+      }
+    }
+    const int64_t reach =
+        static_cast<int64_t>(std::ceil(radius / cell_edge));  // 1 unless coarsened
+    const int64_t n_cells = dims[0] * dims[1] * dims[2];
+
+    auto cell_of = [&](const float* p, int64_t c[3]) {
+      for (int d = 0; d < 3; ++d) {
+        int64_t v = static_cast<int64_t>(std::floor((p[d] - min_c[d]) * inv_cell));
+        c[d] = std::min(std::max(v, int64_t{0}), dims[d] - 1);
+      }
     };
-    auto key_of = [](int64_t cx, int64_t cy, int64_t cz) {
-      // interleave-free 3D key; clouds are far smaller than 2^21 cells/axis
-      return ((cx + (1 << 20)) << 42) | ((cy + (1 << 20)) << 21) | (cz + (1 << 20));
-    };
-    std::unordered_map<int64_t, std::vector<int64_t>> grid;
-    grid.reserve(static_cast<size_t>(ns));
+
+    std::vector<int32_t> pt_cell(ns);
+    std::vector<int32_t> cell_start(n_cells + 1, 0);
     for (int64_t i = 0; i < ns; ++i) {
-      const auto c = cell_of(s + 3 * i);
-      grid[key_of(c[0], c[1], c[2])].push_back(i);
+      int64_t c[3];
+      cell_of(s + 3 * i, c);
+      const int32_t id = static_cast<int32_t>(c[0] + dims[0] * (c[1] + dims[1] * c[2]));
+      pt_cell[i] = id;
+      ++cell_start[id + 1];
+    }
+    for (int64_t c = 0; c < n_cells; ++c) cell_start[c + 1] += cell_start[c];
+    std::vector<float> px(ns), py(ns), pz(ns);
+    std::vector<int32_t> pidx(ns);
+    {
+      std::vector<int32_t> cursor(cell_start.begin(), cell_start.end() - 1);
+      for (int64_t i = 0; i < ns; ++i) {
+        const int32_t at = cursor[pt_cell[i]]++;
+        px[at] = s[3 * i + 0];
+        py[at] = s[3 * i + 1];
+        pz[at] = s[3 * i + 2];
+        pidx[at] = static_cast<int32_t>(i);
+      }
     }
 
     for (int64_t i = 0; i < nq; ++i) {
       const float* qp = q + 3 * i;
-      const auto c = cell_of(qp);
+      const float qx = qp[0], qy = qp[1], qz = qp[2];
+      int64_t c[3];
+      cell_of(qp, c);
       cand.clear();
-      for (int64_t dx = -1; dx <= 1; ++dx) {
-        for (int64_t dy = -1; dy <= 1; ++dy) {
-          for (int64_t dz = -1; dz <= 1; ++dz) {
-            auto it = grid.find(key_of(c[0] + dx, c[1] + dy, c[2] + dz));
-            if (it == grid.end()) continue;
-            for (int64_t j : it->second) {
-              const double ddx = qp[0] - s[3 * j + 0];
-              const double ddy = qp[1] - s[3 * j + 1];
-              const double ddz = qp[2] - s[3 * j + 2];
-              const double d2 = ddx * ddx + ddy * ddy + ddz * ddz;
-              if (d2 <= r2) cand.emplace_back(static_cast<float>(d2), j);
-            }
+      const int64_t x0 = std::max(c[0] - reach, int64_t{0});
+      const int64_t x1 = std::min(c[0] + reach, dims[0] - 1);
+      const int64_t y0 = std::max(c[1] - reach, int64_t{0});
+      const int64_t y1 = std::min(c[1] + reach, dims[1] - 1);
+      const int64_t z0 = std::max(c[2] - reach, int64_t{0});
+      const int64_t z1 = std::min(c[2] + reach, dims[2] - 1);
+      cand.clear();
+      for (int64_t cz = z0; cz <= z1; ++cz) {
+        for (int64_t cy = y0; cy <= y1; ++cy) {
+          // cells along x are contiguous: one run per (y, z) row
+          const int64_t row0 = x0 + dims[0] * (cy + dims[1] * cz);
+          const int32_t lo = cell_start[row0];
+          const int32_t hi = cell_start[row0 + (x1 - x0) + 1];
+          for (int32_t j = lo; j < hi; ++j) {
+            const float ddx = qx - px[j];
+            const float ddy = qy - py[j];
+            const float ddz = qz - pz[j];
+            const float d2 = ddx * ddx + ddy * ddy + ddz * ddz;
+            if (d2 <= r2) cand.emplace_back(d2, pidx[j]);
           }
         }
       }
       const int64_t k = std::min<int64_t>(limit, cand.size());
-      std::partial_sort(cand.begin(), cand.begin() + k, cand.end());
+      if (static_cast<int64_t>(cand.size()) > k) {
+        // nth_element is O(n); partial_sort over thousands of in-radius
+        // candidates (the 2x-radius upsampling searches) dominated before.
+        std::nth_element(cand.begin(), cand.begin() + k, cand.end());
+      }
+      std::sort(cand.begin(), cand.begin() + k);
       int64_t* row = out_indices + (q_start + i) * limit;
       for (int64_t j = 0; j < k; ++j) row[j] = cand[j].second + s_start;
       for (int64_t j = k; j < limit; ++j) row[j] = total_s;
