@@ -83,7 +83,9 @@ def _gse_kernel(d_ref, a_ref, div_ref, wds_ref, wdc_ref, was_ref, wac_ref,
         sin_a, cos_a = embed(a_ref[k])
         a_max = jnp.maximum(a_max, proj(sin_a, cos_a, was_ref[...], wac_ref[...]))
 
-    out_ref[...] = acc + a_max + b_ref[...][None]  # b = b_d + b_a, (1, C)
+    # bf16 output: values are already bf16-matmul precision, and the tensor
+    # is re-read by every RPE self-attention layer — halving it halves that.
+    out_ref[...] = (acc + a_max + b_ref[...][None]).astype(out_ref.dtype)
 
 
 def gse_embedding(
@@ -152,7 +154,7 @@ def gse_embedding(
         out_specs=pl.BlockSpec(
             (tile_n, tile_m, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((pad_n, pad_m, c), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((pad_n, pad_m, c), jnp.bfloat16),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(d_indices, a_indices, div_term, w_d_sin, w_d_cos, w_a_sin, w_a_cos, bias)
@@ -219,7 +221,7 @@ def _gse_bwd_kernel(d_ref, a_ref, de_ref, div_ref, was_ref, wac_ref,
         dwas = dwas + wgrad(sin_a, cot)
         dwac = dwac + wgrad(cos_a, cot)
 
-    db = jnp.sum(de, axis=(0, 1), keepdims=False)[None, :]  # (1, C)
+    db = jnp.sum(de.astype(jnp.float32), axis=(0, 1))[None, :]  # (1, C)
 
     @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
     def _init():
