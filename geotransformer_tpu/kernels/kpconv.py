@@ -193,3 +193,73 @@ def kpconv_fused(
     if bias is not None:
         out = out + bias
     return out
+
+
+def _influence_and_count(s_feats, q_points, s_points, neighbor_indices,
+                         kernel_points, sigma):
+    """XLA recomputation of the kernel's influence tensor and neighbor count
+    (for the custom_vjp backward; mirrors _kpconv_kernel exactly)."""
+    nb = gather_with_shadow(s_points, neighbor_indices, 1e6)
+    offs = nb - q_points[:, None, :]  # (M, H, 3); shadow -> huge offset
+    sq = (
+        jnp.sum(offs**2, axis=-1, keepdims=True)
+        - 2.0 * jnp.einsum("mhd,kd->mhk", offs, kernel_points)
+        + jnp.sum(kernel_points**2, axis=-1)[None, None, :]
+    )
+    influence = jnp.maximum(1.0 - jnp.sqrt(jnp.maximum(sq, 1e-20)) / sigma, 0.0)
+    nf = gather_with_shadow(s_feats, neighbor_indices, 0.0)  # (M, H, C)
+    feat_sum = jnp.sum(nf, axis=-1)
+    count = jnp.maximum(jnp.sum((feat_sum > 0.0).astype(jnp.float32), -1), 1.0)
+    return influence, nf, count
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 8))
+def kpconv_fused_diff(
+    s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
+    sigma, bias, tile_m,
+):
+    """Differentiable fused KPConv: Pallas forward, explicit XLA backward.
+
+    Gradients flow to s_feats, weights, and bias only — points, neighbor
+    tables, and the kernel disposition are fixed (the reference registers
+    kernel_points as a non-trainable buffer, kpconv.py:65).
+    """
+    return kpconv_fused(
+        s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
+        sigma, bias=bias, tile_m=tile_m,
+    )
+
+
+def _kpconv_diff_fwd(s_feats, q_points, s_points, neighbor_indices,
+                     kernel_points, weights, sigma, bias, tile_m):
+    out = kpconv_fused(
+        s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
+        sigma, bias=bias, tile_m=tile_m,
+    )
+    res = (s_feats, q_points, s_points, neighbor_indices, kernel_points,
+           weights, bias is not None)
+    return out, res
+
+
+def _kpconv_diff_bwd(sigma, tile_m, res, dout):
+    s_feats, q_points, s_points, neighbor_indices, kernel_points, weights, \
+        has_bias = res
+    influence, nf, count = _influence_and_count(
+        s_feats, q_points, s_points, neighbor_indices, kernel_points, sigma
+    )
+    g = dout / count[:, None]  # (M, C_out); d(count) = 0 (indicator)
+
+    t = jnp.einsum("mhk,mhc->mkc", influence, nf)  # (M, K, C)
+    d_weights = jnp.einsum("mkc,md->kcd", t, g)
+    d_nf = jnp.einsum("mhk,mkc->mhc", influence,
+                      jnp.einsum("kcd,md->mkc", weights, g))
+    n = s_feats.shape[0]
+    d_s_feats = (
+        jnp.zeros((n + 1, s_feats.shape[1]), s_feats.dtype)
+        .at[neighbor_indices].add(d_nf)[:n]
+    )
+    d_bias = jnp.sum(dout, axis=0) if has_bias else None
+    return (d_s_feats, None, None, None, None, d_weights, d_bias)
+
+
+kpconv_fused_diff.defvjp(_kpconv_diff_fwd, _kpconv_diff_bwd)

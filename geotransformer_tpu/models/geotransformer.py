@@ -114,7 +114,7 @@ class GeoTransformer(nn.Module):
             cfg.backbone.group_norm,
             num_stages=cfg.backbone.num_stages,
             first_fine_stage=fine,
-            use_pallas=(on_tpu and not training),
+            use_pallas=on_tpu,  # differentiable (custom_vjp, XLA backward)
             name="backbone",
         )(batch["features"], batch)
         feats_c = feats_list[-1]

@@ -65,7 +65,7 @@ class KPConv(nn.Module):
         )
 
         if self.use_pallas:
-            from geotransformer_tpu.kernels.kpconv import kpconv_fused
+            from geotransformer_tpu.kernels.kpconv import kpconv_fused_diff
 
             bias = (
                 self.param("bias", nn.initializers.zeros, (self.out_channels,))
@@ -78,9 +78,9 @@ class KPConv(nn.Module):
                 tile_m = 64
             else:
                 tile_m = 32
-            return kpconv_fused(
+            return kpconv_fused_diff(
                 s_feats, q_points, s_points, neighbor_indices,
-                kernel_points, weights, self.sigma, bias=bias, tile_m=tile_m,
+                kernel_points, weights, self.sigma, bias, tile_m,
             )
 
         # Neighbor offsets relative to each query (shadow -> huge coordinate).

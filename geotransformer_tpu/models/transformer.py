@@ -66,12 +66,8 @@ class GeometricStructureEmbedding(nn.Module):
 
     @nn.compact
     def __call__(self, points, masks=None):
-        d_indices, a_indices = self.get_embedding_indices(points, masks)
-        d_indices = jax.lax.stop_gradient(d_indices)
-        a_indices = jax.lax.stop_gradient(a_indices)
-
         if self.use_pallas and self.reduction_a == "max":
-            from geotransformer_tpu.kernels.gse import gse_embedding_diff
+            from geotransformer_tpu.kernels.gse import gse_embedding_full_diff
 
             # The fused kernel needs the raw projection matrices; recover
             # them from the Dense submodules (same names as the XLA path, so
@@ -85,13 +81,30 @@ class GeometricStructureEmbedding(nn.Module):
             w_d = proj_d(eye) - b_d[None, :]
             b_a = proj_a(zero)[0]
             w_a = proj_a(eye) - b_a[None, :]
-            a_t = jnp.transpose(a_indices, (0, 3, 1, 2))  # (B, k, N, N)
+
+            # Only the k-NN reference vectors are computed in XLA (small);
+            # distances and triplet angles live inside the kernel.
+            k = self.angle_k
+            knn_dists = jnp.sqrt(pairwise_distance(points, points))
+            if masks is not None:
+                knn_dists = jnp.where(masks[:, None, :], knn_dists, 1e12)
+            _, knn_indices = jax.lax.top_k(-knn_dists, k + 1)
+            knn_indices = knn_indices[:, :, 1:]  # drop self
+            knn_points = jax.vmap(lambda pts, idx: pts[idx])(points, knn_indices)
+            ref_vectors = knn_points - points[:, :, None, :]  # (B, N, k, 3)
+            ref_vectors = jax.lax.stop_gradient(ref_vectors)
+            pts = jax.lax.stop_gradient(points)
             return jax.vmap(
-                lambda d, a: gse_embedding_diff(
-                    d, a, w_d, b_d, w_a, b_a, self.hidden_dim
+                lambda p, u: gse_embedding_full_diff(
+                    p, u, w_d, b_d, w_a, b_a,
+                    self.hidden_dim, self.sigma_d, self.sigma_a,
                 ),
                 in_axes=(0, 0),
-            )(d_indices, a_t)
+            )(pts, ref_vectors)
+
+        d_indices, a_indices = self.get_embedding_indices(points, masks)
+        d_indices = jax.lax.stop_gradient(d_indices)
+        a_indices = jax.lax.stop_gradient(a_indices)
 
         d_embeddings = sinusoidal_embedding(d_indices, self.hidden_dim)
         d_embeddings = nn.Dense(self.hidden_dim, name="proj_d")(d_embeddings)

@@ -169,6 +169,7 @@ def pad_registration_batch(pyramid, feats, transform, stage_caps):
         mask[cap : cap + src_len] = True
         nbrs = _remap_indices(pyramid["neighbors"][i], ref_len, src_len, cap)
         nbrs = _pad_rows(nbrs, ref_len, src_len, cap, np.int32(2 * cap))
+        nbrs = _pad_cols_to_sublane(nbrs, np.int32(2 * cap))
         out["points"].append(pts)
         out["masks"].append(mask)
         out["lengths"].append(np.asarray([ref_len, src_len], dtype=np.int32))
@@ -178,10 +179,10 @@ def pad_registration_batch(pyramid, feats, transform, stage_caps):
         cap_cur, cap_sub = int(stage_caps[i]), int(stage_caps[i + 1])
         sub = _remap_indices(pyramid["subsampling"][i], ref_lens[i], src_lens[i], cap_cur)
         sub = _pad_rows(sub, ref_lens[i + 1], src_lens[i + 1], cap_sub, np.int32(2 * cap_cur))
-        out["subsampling"].append(sub)
+        out["subsampling"].append(_pad_cols_to_sublane(sub, np.int32(2 * cap_cur)))
         up = _remap_indices(pyramid["upsampling"][i], ref_lens[i + 1], src_lens[i + 1], cap_sub)
         up = _pad_rows(up, ref_lens[i], src_lens[i], cap_cur, np.int32(2 * cap_sub))
-        out["upsampling"].append(up)
+        out["upsampling"].append(_pad_cols_to_sublane(up, np.int32(2 * cap_sub)))
 
     cap0 = int(stage_caps[0])
     out["features"] = _pad_rows(
@@ -193,6 +194,22 @@ def pad_registration_batch(pyramid, feats, transform, stage_caps):
 
 def round_up(value, multiple):
     return int(-(-value // multiple) * multiple)
+
+
+def _pad_cols_to_sublane(table, sentinel):
+    """Pad a neighbor table's column count to a multiple of 8 with sentinels.
+
+    Extra columns behave as shadow neighbors everywhere; aligning them to
+    the TPU sublane size here means no device-side jnp.pad + relayout per
+    convolution (see kernels/kpconv.py).
+    """
+    h = table.shape[1]
+    h_pad = round_up(h, 8)
+    if h_pad == h:
+        return table
+    out = np.full((table.shape[0], h_pad), sentinel, dtype=table.dtype)
+    out[:, :h] = table
+    return out
 
 
 def caps_for_pyramid(pyramid, multiple=128, margin=1.0):

@@ -65,3 +65,45 @@ class TestKPConvFused:
             sigma=0.08, tile_m=64,
         ))
         np.testing.assert_allclose(got, 0.0, atol=1e-6)
+
+
+class TestKPConvGradients:
+    def test_grads_match_xla_autodiff(self, rng):
+        from geotransformer_tpu.kernels.kpconv import kpconv_fused_diff
+
+        n, m, h, cin, cout = 300, 200, 10, 16, 32
+        s_points = jnp.asarray(rng.uniform(0, 1, (n, 3)), jnp.float32)
+        q_points = jnp.asarray(rng.uniform(0, 1, (m, 3)), jnp.float32)
+        s_feats = jnp.asarray(rng.normal(size=(n, cin)), jnp.float32)
+        neighbors = jnp.asarray(rng.integers(0, n + 1, (m, h)), jnp.int32)
+        conv = KPConv(cin, cout, 15, 0.1, 0.08, use_bias=True)
+        variables = conv.init(
+            jax.random.PRNGKey(0), s_feats, q_points, s_points, neighbors
+        )
+        kp = variables["constants"]["kernel_points"]
+        w = variables["params"]["weights"]
+        b = variables["params"]["bias"]
+        cot = jnp.asarray(rng.normal(size=(m, cout)), jnp.float32)
+
+        def loss_xla(f, w, b):
+            out = conv.apply(
+                {"constants": {"kernel_points": kp},
+                 "params": {"weights": w, "bias": b}},
+                f, q_points, s_points, neighbors,
+            )
+            return jnp.sum(out * cot)
+
+        def loss_fused(f, w, b):
+            out = kpconv_fused_diff(
+                f, q_points, s_points, neighbors, kp, w, 0.08, b, 64
+            )
+            return jnp.sum(out * cot)
+
+        ga = jax.grad(loss_xla, argnums=(0, 1, 2))(s_feats, w, b)
+        gb = jax.grad(loss_fused, argnums=(0, 1, 2))(s_feats, w, b)
+        for name, a, b_ in zip(("s_feats", "weights", "bias"), ga, gb):
+            scale = np.abs(np.asarray(a)).max() + 1e-8
+            np.testing.assert_allclose(
+                np.asarray(b_) / scale, np.asarray(a) / scale, atol=2e-2,
+                err_msg=name,
+            )
