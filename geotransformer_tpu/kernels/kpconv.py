@@ -96,7 +96,7 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *, num_kernel_points, c
 
 def kpconv_fused(
     s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
-    sigma, bias=None, tile_m=128, interpret=None,
+    sigma, bias=None, tile_m=128, interpret=None, return_gathered=False,
 ):
     """Fused KPConv forward.
 
@@ -110,9 +110,12 @@ def kpconv_fused(
         sigma: influence radius.
         bias: optional (C_out,).
         tile_m: query rows per program.
+        return_gathered: also return the gathered block (M, H, AUG+C) and
+            the sublane-padded neighbor table (for custom_vjp residuals —
+            keeping it alive saves the backward's re-gather).
 
     Returns:
-        (M, C_out) float32 features.
+        (M, C_out) float32 features [, gathered block, padded indices].
     """
     m = q_points.shape[0]
     k, c_in, c_out = weights.shape
@@ -192,22 +195,34 @@ def kpconv_fused(
     out = out[:m]
     if bias is not None:
         out = out + bias
+    if return_gathered:
+        return out, g[:m], neighbor_indices
     return out
 
 
-def _influence_and_count(s_feats, q_points, s_points, neighbor_indices,
-                         kernel_points, sigma):
-    """XLA recomputation of the kernel's influence tensor and neighbor count
-    (for the custom_vjp backward; mirrors _kpconv_kernel exactly)."""
-    nb = gather_with_shadow(s_points, neighbor_indices, 1e6)
-    offs = nb - q_points[:, None, :]  # (M, H, 3); shadow -> huge offset
+def _influence_and_count_from_gathered(g, q_points, kernel_points, sigma, c_in):
+    """Influence tensor and neighbor count from the saved gathered block
+    (for the custom_vjp backward; mirrors _kpconv_kernel exactly, including
+    the shadow-at-origin convention — shadow rows may get spurious influence
+    but their features are zero, so every term they touch vanishes)."""
+    sp = g[:, :, :3]
+    sq_s = g[:, :, 3]
+    nf = g[:, :, _AUG : _AUG + c_in]
+    sq_q = jnp.sum(q_points**2, axis=-1)
+    sq_off = (
+        sq_s
+        - 2.0 * jnp.einsum("mhd,md->mh", sp, q_points)
+        + sq_q[:, None]
+    )
     sq = (
-        jnp.sum(offs**2, axis=-1, keepdims=True)
-        - 2.0 * jnp.einsum("mhd,kd->mhk", offs, kernel_points)
+        sq_off[:, :, None]
+        - 2.0 * (
+            jnp.einsum("mhd,kd->mhk", sp, kernel_points)
+            - jnp.einsum("md,kd->mk", q_points, kernel_points)[:, None, :]
+        )
         + jnp.sum(kernel_points**2, axis=-1)[None, None, :]
     )
     influence = jnp.maximum(1.0 - jnp.sqrt(jnp.maximum(sq, 1e-20)) / sigma, 0.0)
-    nf = gather_with_shadow(s_feats, neighbor_indices, 0.0)  # (M, H, C)
     feat_sum = jnp.sum(nf, axis=-1)
     count = jnp.maximum(jnp.sum((feat_sum > 0.0).astype(jnp.float32), -1), 1.0)
     return influence, nf, count
@@ -232,20 +247,22 @@ def kpconv_fused_diff(
 
 def _kpconv_diff_fwd(s_feats, q_points, s_points, neighbor_indices,
                      kernel_points, weights, sigma, bias, tile_m):
-    out = kpconv_fused(
+    out, gathered, nb_pad = kpconv_fused(
         s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
-        sigma, bias=bias, tile_m=tile_m,
+        sigma, bias=bias, tile_m=tile_m, return_gathered=True,
     )
-    res = (s_feats, q_points, s_points, neighbor_indices, kernel_points,
-           weights, bias is not None)
+    # The gathered block is kept as a residual: the backward then needs no
+    # re-gather (the dominant cost of a stage-0 conv).
+    res = (gathered, q_points, nb_pad, kernel_points, weights,
+           s_feats.shape[0], bias is not None)
     return out, res
 
 
 def _kpconv_diff_bwd(sigma, tile_m, res, dout):
-    s_feats, q_points, s_points, neighbor_indices, kernel_points, weights, \
-        has_bias = res
-    influence, nf, count = _influence_and_count(
-        s_feats, q_points, s_points, neighbor_indices, kernel_points, sigma
+    gathered, q_points, nb_pad, kernel_points, weights, n, has_bias = res
+    c_in = weights.shape[1]
+    influence, nf, count = _influence_and_count_from_gathered(
+        gathered, q_points, kernel_points, sigma, c_in
     )
     g = dout / count[:, None]  # (M, C_out); d(count) = 0 (indicator)
 
@@ -253,10 +270,9 @@ def _kpconv_diff_bwd(sigma, tile_m, res, dout):
     d_weights = jnp.einsum("mkc,md->kcd", t, g)
     d_nf = jnp.einsum("mhk,mkc->mhc", influence,
                       jnp.einsum("kcd,md->mkc", weights, g))
-    n = s_feats.shape[0]
     d_s_feats = (
-        jnp.zeros((n + 1, s_feats.shape[1]), s_feats.dtype)
-        .at[neighbor_indices].add(d_nf)[:n]
+        jnp.zeros((n + 1, c_in), d_nf.dtype)
+        .at[nb_pad].add(d_nf)[:n]
     )
     d_bias = jnp.sum(dout, axis=0) if has_bias else None
     return (d_s_feats, None, None, None, None, d_weights, d_bias)
