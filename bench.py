@@ -60,17 +60,18 @@ def main():
     )
 
     # Timing methodology: this TPU is reached through an async relay where
-    # block_until_ready does not synchronize with device execution — only a
-    # host fetch does, and each fetch costs ~30ms RPC. chained_ms chains L
-    # data-dependent forwards inside one dynamic-trip-count while_loop (one
-    # executable), fetches a scalar, and differences two chain lengths to
-    # cancel the fixed overhead (see geotransformer_tpu/utils/timing.py).
-    from geotransformer_tpu.utils.timing import fetch_diff_ms
+    # block_until_ready does not synchronize with device execution and every
+    # host fetch carries ~30ms of jittery RPC. The steady-state number is
+    # therefore read from a jax.profiler device trace (device-side executable
+    # duration averaged over iterations), which is immune to host jitter; see
+    # geotransformer_tpu/utils/timing.py.
+    from geotransformer_tpu.utils.timing import trace_ms
 
-    ms = fetch_diff_ms(
+    ms = trace_ms(
         lambda v, b: model.apply(v, b, training=False, with_gt=False),
         (variables, batch),
         lambda out: out["estimated_transform"][0, 0],
+        iters=6,
     )
     pairs_per_sec = 1000.0 / ms
 

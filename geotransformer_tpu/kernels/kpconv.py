@@ -74,6 +74,19 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *, num_kernel_points, c
         jnp.sum((feat_sum > 0.0).astype(jnp.float32), axis=-1), 1.0
     )  # (TM,)
 
+    if c_in == 1:
+        # First conv (raw input features, C_in == 1): the neighbor
+        # contraction collapses to weighted influence row-sums followed by
+        # ONE clean (TM, K) @ (K, C_out) matmul — the batched dot over a
+        # 1-lane rhs is pathologically shaped on the MXU.
+        t1 = jnp.sum(influence * nf[:, :, 0][:, :, None], axis=1)  # (TM, K)
+        acc = jax.lax.dot_general(
+            t1.astype(jnp.bfloat16), w_ref[...][:, 0, :].astype(jnp.bfloat16),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+        out_ref[...] = acc / count[:, None]
+        return
+
     # Batched MXU contraction over neighbors (Mosaic supports batch dims):
     # t[t,k,c] = sum_h influence[t,h,k] * nf[t,h,c]. The (K*C) lane-merge
     # reshape is unsupported, so the weight contraction is K static-sliced

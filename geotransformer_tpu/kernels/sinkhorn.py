@@ -67,7 +67,7 @@ def sinkhorn_log_iterations(padded_scores, log_mu, log_nu, num_iterations):
 
     # Patches per program: enough rows to fill the VPU, bounded by VMEM
     # (block + double-buffering must stay well under the scoped limit).
-    bp = max(1, min(64, (8 * 1024 * 1024) // (m1p * n1p * 4)))
+    bp = max(1, min(256, (24 * 1024 * 1024) // (m1p * n1p * 4)))
     pp = _round_up(p, bp)
 
     scores_p = jnp.pad(

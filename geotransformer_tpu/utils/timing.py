@@ -60,6 +60,51 @@ def chained_ms(fn, args, perturb, reduce_out, lengths=(1, 9), repeats=3):
     return (fetch(l_long) - fetch(l_short)) / (l_long - l_short) * 1e3
 
 
+def trace_ms(fn, args, reduce_out, iters=4, trace_dir="/tmp/gt_trace"):
+    """Milliseconds per invocation from a jax.profiler device trace.
+
+    Immune to host/RPC jitter (the dominant noise of fetch-based timing on
+    this relay): runs `iters` jitted calls under the profiler and averages
+    the device-side duration of the top-level executable. Falls back to
+    fetch_diff_ms if no device events are found.
+    """
+    import collections
+    import glob
+    import gzip
+    import json
+    import shutil
+
+    jfn = jax.jit(lambda *a: reduce_out(fn(*a)).astype(jnp.float32))
+    float(jfn(*args))  # compile + sync
+    shutil.rmtree(trace_dir, ignore_errors=True)
+    with jax.profiler.trace(trace_dir):
+        out = None
+        for _ in range(iters):
+            out = jfn(*args)
+        float(out)
+    files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
+    if not files:
+        return fetch_diff_ms(fn, args, reduce_out)
+    with gzip.open(files[-1]) as f:
+        trace = json.load(f)
+    events = trace.get("traceEvents", [])
+    pids = {
+        e["pid"]: e["args"].get("name", "")
+        for e in events
+        if e.get("ph") == "M" and e.get("name") == "process_name" and "args" in e
+    }
+    dur = collections.Counter()
+    for e in events:
+        if e.get("ph") == "X" and "TPU" in pids.get(e.get("pid"), ""):
+            name = e.get("name", "")
+            if name.startswith("jit_"):
+                dur[name] += e.get("dur", 0)
+    if not dur:
+        return fetch_diff_ms(fn, args, reduce_out)
+    total_us = sum(dur.values())
+    return total_us / iters / 1000.0
+
+
 def fetch_diff_ms(fn, args, reduce_out, repeats=10):
     """Milliseconds per invocation via host-fetch minus calibrated overhead.
 
