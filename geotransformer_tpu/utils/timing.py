@@ -85,8 +85,11 @@ def trace_ms(fn, args, reduce_out, iters=4, trace_dir="/tmp/gt_trace"):
     files = sorted(glob.glob(f"{trace_dir}/plugins/profile/*/*.trace.json.gz"))
     if not files:
         return fetch_diff_ms(fn, args, reduce_out)
-    with gzip.open(files[-1]) as f:
-        trace = json.load(f)
+    try:
+        with gzip.open(files[-1]) as f:
+            trace = json.load(f)
+    except Exception:  # truncated/partial trace — fall back to fetch timing
+        return fetch_diff_ms(fn, args, reduce_out)
     events = trace.get("traceEvents", [])
     pids = {
         e["pid"]: e["args"].get("name", "")
