@@ -10,4 +10,5 @@ from geotransformer_tpu.preprocess.pyramid import (
 from geotransformer_tpu.preprocess.calibrate import (
     calibrate_neighbor_limits,
     calibrate_stage_caps,
+    calibrate_stage_cap_buckets,
 )

@@ -83,3 +83,52 @@ def calibrate_stage_caps(
         target = float(np.quantile(np.asarray(stage_sizes), quantile))
         caps.append(max(round_up(target, multiple), multiple))
     return caps
+
+
+def calibrate_stage_cap_buckets(
+    sample_iter,
+    num_stages,
+    voxel_size,
+    search_radius,
+    neighbor_limits,
+    num_buckets=3,
+    num_samples=64,
+    multiple=256,
+):
+    """Per-stage capacity *buckets* for bounded recompilation.
+
+    Samples pyramid sizes, splits samples into `num_buckets` groups by
+    stage-0 size, and returns an ascending list of per-stage cap tuples —
+    each covering every sample in its group (the largest bucket covers the
+    observed maximum). Feed the list to :class:`PairLoader` via
+    ``pipeline_cfg['stage_caps']``; each pair is padded to the smallest
+    bucket that fits, so XLA compiles at most `num_buckets` executables
+    instead of one per distinct cloud size.
+    """
+    per_sample = []
+    for n, sample in enumerate(sample_iter):
+        if n >= num_samples:
+            break
+        points = np.concatenate([sample["ref_points"], sample["src_points"]], axis=0)
+        lengths = np.asarray([len(sample["ref_points"]), len(sample["src_points"])])
+        pyramid = build_pyramid(
+            points, lengths, num_stages, voxel_size, search_radius, neighbor_limits
+        )
+        per_sample.append([int(np.max(l)) for l in pyramid["lengths"]])
+    per_sample.sort(key=lambda s: s[0])
+    per_sample = np.asarray(per_sample)  # (S, num_stages)
+    groups = np.array_split(per_sample, num_buckets)
+    buckets = []
+    for g in groups:
+        if len(g) == 0:
+            continue
+        caps = tuple(
+            max(round_up(int(m), multiple), multiple) for m in g.max(axis=0)
+        )
+        if buckets and all(c <= p for c, p in zip(caps, buckets[-1])):
+            continue  # degenerate group, already covered
+        # keep buckets nested so "first fit" is also "smallest fit"
+        if buckets:
+            caps = tuple(max(c, p) for c, p in zip(caps, buckets[-1]))
+        buckets.append(caps)
+    return buckets

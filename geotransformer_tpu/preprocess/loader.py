@@ -50,6 +50,21 @@ def prepare_pair(
     pyramid = build_pyramid(
         points, lengths, num_stages, voxel_size, search_radius, list(neighbor_limits)
     )
+    if isinstance(stage_caps[0], (list, tuple)):
+        # Capacity buckets (ascending): pick the smallest bucket that fits —
+        # XLA compiles one executable per bucket, so a handful of buckets
+        # bounds both recompilation and padding waste (the reference's
+        # calibration idea extended to whole-pyramid shapes, SURVEY §7).
+        sizes = [int(np.max(l)) for l in pyramid["lengths"]]
+        for bucket in stage_caps:
+            if all(s <= c for s, c in zip(sizes, bucket)):
+                stage_caps = tuple(bucket)
+                break
+        else:
+            raise ValueError(
+                f"pair with stage sizes {sizes} exceeds every capacity bucket "
+                f"{stage_caps}"
+            )
     if "ref_feats" in sample:
         feats = np.concatenate(
             [np.asarray(sample["ref_feats"], np.float32), np.asarray(sample["src_feats"], np.float32)],

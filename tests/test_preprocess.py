@@ -1,6 +1,7 @@
 """Tests for host-side preprocessing: voxel subsample, radius search, pyramid padding."""
 
 import numpy as np
+import pytest
 
 from geotransformer_tpu.preprocess import (
     grid_subsample,
@@ -170,3 +171,47 @@ class TestPyramidPadding:
                     np.testing.assert_allclose(
                         batch["points"][1][nj], pyr["points"][1][oj]
                     )
+
+
+class TestCapacityBuckets:
+    def _samples(self, rng, sizes):
+        out = []
+        for n in sizes:
+            ref = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+            src = rng.uniform(0, 1, (max(n - 40, 30), 3)).astype(np.float32)
+            out.append({"ref_points": ref, "src_points": src,
+                        "transform": np.eye(4, dtype=np.float32)})
+        return out
+
+    def test_buckets_ascending_and_cover(self, rng):
+        from geotransformer_tpu.preprocess import calibrate_stage_cap_buckets
+
+        samples = self._samples(rng, [200, 400, 800, 1600, 2400, 3000])
+        buckets = calibrate_stage_cap_buckets(
+            iter(samples), 3, 0.05, 0.125, [16, 16, 16], num_buckets=3,
+            multiple=64,
+        )
+        assert 1 <= len(buckets) <= 3
+        for a, b in zip(buckets, buckets[1:]):
+            assert all(x <= y for x, y in zip(a, b))
+
+    def test_prepare_pair_picks_smallest_fitting_bucket(self, rng):
+        from geotransformer_tpu.preprocess.loader import prepare_pair
+
+        small, big = self._samples(rng, [150, 2000])
+        buckets = [(256, 256, 256), (2048, 2048, 2048)]
+        cfg = dict(num_stages=3, voxel_size=0.05, search_radius=0.125,
+                   neighbor_limits=[16, 16, 16], stage_caps=buckets)
+        b_small = prepare_pair(small, **cfg)
+        assert b_small["points"][0].shape[0] == 2 * 256
+        b_big = prepare_pair(big, **cfg)
+        assert b_big["points"][0].shape[0] == 2 * 2048
+
+    def test_prepare_pair_overflow_raises(self, rng):
+        from geotransformer_tpu.preprocess.loader import prepare_pair
+
+        (big,) = self._samples(rng, [3000])
+        cfg = dict(num_stages=3, voxel_size=0.05, search_radius=0.125,
+                   neighbor_limits=[16, 16, 16], stage_caps=[(128, 128, 128)])
+        with pytest.raises(ValueError):
+            prepare_pair(big, **cfg)
