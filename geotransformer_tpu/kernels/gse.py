@@ -1,22 +1,25 @@
-r"""Pallas TPU kernel: fused geometric-structure-embedding producer.
+r"""Pallas TPU kernel: fully-fused geometric-structure-embedding producer.
 
 The XLA path of :class:`GeometricStructureEmbedding` materializes the
-sinusoidal bases of the distance map and of the k triplet-angle maps —
-(B, N, N, C) and (B, N, N, k, C) tensors (~1.9 GB of padded HBM traffic for
-the 3DMatch config) — before projecting and max-reducing them. This kernel
-receives only the *indices* (the (N, N) distance map and (k, N, N) angle
-maps, a few MB) and produces the final (N, N, C) embedding tile-by-tile:
-bases live in VMEM only.
+pairwise vectors, the triplet angles, and the sinusoidal bases of both —
+(B, N, N, 3), (B, N, N, C) and (B, N, N, k, C) tensors (~2 GB of padded HBM
+traffic for the 3DMatch config) — before projecting and max-reducing them.
+This kernel takes only the points (N, 3) and the per-node k-NN reference
+vectors (N, k, 3) and produces the final (N, N, C) embedding tile-by-tile:
+distances, angles, and bases all live in VMEM only.
 
-    e_d = sin/cos(d ⊗ ω) @ W_d
-    e_a = max_k  sin/cos(a_k ⊗ ω) @ W_a
-    out = e_d + b_d + e_a + b_a
+    d, a_k  = pair geometry (in-kernel; polynomial atan2)
+    e_d     = sin/cos(d ⊗ ω) @ W_d
+    e_a     = max_k  sin/cos(a_k ⊗ ω) @ W_a
+    out     = e_d + b_d + e_a + b_a
 
 The reference embedding interleaves [sin0, cos0, sin1, ...]
 (`/root/reference/geotransformer/modules/transformer/positional_embedding.py:18-34`);
 instead of interleaving the basis in-kernel (a lane-shuffle Mosaic cannot
 reshape), the weight matrices are split outside into their sin-row and
 cos-row halves, so the kernel computes two plain matmuls per embedding.
+A recompute-based custom_vjp (no residuals; (F, C) cotangents accumulated
+across the grid) makes the fused path usable in training.
 """
 
 import functools
@@ -47,290 +50,6 @@ def _fast_sincos(x):
         -0.5 + r2 * (1.0 / 24.0 + r2 * (-1.0 / 720.0 + r2 * (1.0 / 40320.0)))
     )
     return sign * sin_r, sign * cos_r
-
-
-def _gse_kernel(d_ref, a_ref, div_ref, wds_ref, wdc_ref, was_ref, wac_ref,
-                b_ref, out_ref, *, angle_k):
-    tn, tm = d_ref.shape
-    c_out = out_ref.shape[-1]
-    div = div_ref[...]  # (1, F)
-
-    def embed(idx):
-        # idx: (TN, TM) -> sin/cos bases in (TN, F, TM) layout: TM stays on
-        # lanes for both the broadcast multiply and the transposed-operand
-        # matmul below, so Mosaic inserts no relayouts. bf16 bases match the
-        # precision XLA picks for these matmuls on TPU (basis values are in
-        # [-1, 1], so bf16 rounding is ~0.4% of unit scale).
-        om = idx[:, None, :] * div[0][None, :, None]  # (TN, F, TM)
-        s, c = _fast_sincos(om)
-        return s.astype(jnp.bfloat16), c.astype(jnp.bfloat16)
-
-    def proj(sin_b, cos_b, ws, wc):
-        # (TN, F, TM) x (F, C) contracting F -> (TN, TM, C)
-        return jax.lax.dot_general(
-            sin_b, ws, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            cos_b, wc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    sin_d, cos_d = embed(d_ref[...])
-    acc = proj(sin_d, cos_d, wds_ref[...], wdc_ref[...])  # (TN, TM, C)
-
-    a_max = jnp.full((tn, tm, c_out), -jnp.inf, dtype=jnp.float32)
-    for k in range(angle_k):
-        sin_a, cos_a = embed(a_ref[k])
-        a_max = jnp.maximum(a_max, proj(sin_a, cos_a, was_ref[...], wac_ref[...]))
-
-    # bf16 output: values are already bf16-matmul precision, and the tensor
-    # is re-read by every RPE self-attention layer — halving it halves that.
-    out_ref[...] = (acc + a_max + b_ref[...][None]).astype(out_ref.dtype)
-
-
-def gse_embedding(
-    d_indices, a_indices, w_d, b_d, w_a, b_a, hidden_dim,
-    tile_n=64, tile_m=128, interpret=None,
-):
-    """Fused GSE embedding: sinusoidal-embed, project, and max-reduce.
-
-    Equivalent to
-      proj_d(sinusoidal(d_indices)) + max_k proj_a(sinusoidal(a_indices))
-    with the interleaved sin/cos layout of ``ops.embedding.sinusoidal_embedding``.
-
-    Args:
-        d_indices: (N, M) distance indices.
-        a_indices: (K, N, M) triplet angle indices (K leading — keeps the
-            lane dimension wide; a trailing K would pad 3 lanes to 128).
-        w_d / b_d: (C, C), (C,) distance projection parameters.
-        w_a / b_a: (C, C), (C,) angle projection parameters.
-        hidden_dim: C (even).
-
-    Returns:
-        (N, M, C) float32 embeddings.
-    """
-    n, m = d_indices.shape
-    angle_k = a_indices.shape[0]
-    c = hidden_dim
-
-    div_indices = np.arange(0, c, 2, dtype=np.float32)
-    div_term = jnp.asarray(
-        np.exp(div_indices * (-np.log(10000.0) / c))[None, :]
-    )  # (1, F)
-
-    # interleaved rows [sin0, cos0, sin1, ...] -> separate sin/cos halves
-    bf = jnp.bfloat16
-    w_d_sin, w_d_cos = w_d[0::2].astype(bf), w_d[1::2].astype(bf)  # (F, C)
-    w_a_sin, w_a_cos = w_a[0::2].astype(bf), w_a[1::2].astype(bf)
-    bias = (b_d + b_a)[None, :]  # (1, C)
-
-    pad_n = -(-n // tile_n) * tile_n
-    pad_m = -(-m // tile_m) * tile_m
-    if pad_n != n or pad_m != m:
-        d_indices = jnp.pad(d_indices, ((0, pad_n - n), (0, pad_m - m)))
-        a_indices = jnp.pad(
-            a_indices, ((0, 0), (0, pad_n - n), (0, pad_m - m))
-        )
-
-    if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
-    kernel = functools.partial(_gse_kernel, angle_k=angle_k)
-    out = pl.pallas_call(
-        kernel,
-        grid=(pad_n // tile_n, pad_m // tile_m),
-        in_specs=[
-            pl.BlockSpec((tile_n, tile_m), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (angle_k, tile_n, tile_m), lambda i, j: (0, i, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=pl.BlockSpec(
-            (tile_n, tile_m, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((pad_n, pad_m, c), jnp.bfloat16),
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(d_indices, a_indices, div_term, w_d_sin, w_d_cos, w_a_sin, w_a_cos, bias)
-    return out[:n, :m]
-
-
-def _gse_bwd_kernel(d_ref, a_ref, de_ref, div_ref, was_ref, wac_ref,
-                    dwds_ref, dwdc_ref, dwas_ref, dwac_ref, db_ref, *, angle_k):
-    """Accumulate parameter cotangents over the grid (recompute, no residuals).
-
-    For the distance branch dW = basis^T dE directly; for the angle branch
-    the forward max over k routes each (n, m, c) cotangent to the first k
-    attaining the elementwise max, recomputed here.
-    """
-    tn, tm = d_ref.shape
-    div = div_ref[...]
-    de = de_ref[...]  # (TN, TM, C) f32
-
-    def embed(idx):
-        om = idx[:, None, :] * div[0][None, :, None]  # (TN, F, TM)
-        s, c = _fast_sincos(om)
-        return s.astype(jnp.bfloat16), c.astype(jnp.bfloat16)
-
-    def proj(sin_b, cos_b, ws, wc):
-        return jax.lax.dot_general(
-            sin_b, ws, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            cos_b, wc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-
-    def wgrad(basis, cot):
-        # (TN, F, TM) x (TN, TM, C) -> sum_n (F, C)
-        per_n = jax.lax.dot_general(
-            basis, cot.astype(jnp.bfloat16),
-            (((2,), (1,)), ((0,), (0,))),
-            preferred_element_type=jnp.float32,
-        )  # (TN, F, C)
-        return jnp.sum(per_n, axis=0)
-
-    # distance branch
-    sin_d, cos_d = embed(d_ref[...])
-    dwds = wgrad(sin_d, de)
-    dwdc = wgrad(cos_d, de)
-
-    # angle branch: recompute e_k and the max, route dE to the first argmax
-    bases = []
-    e_max = jnp.full(de.shape, -jnp.inf, dtype=jnp.float32)
-    for k in range(angle_k):
-        sin_a, cos_a = embed(a_ref[k])
-        bases.append((sin_a, cos_a))
-        e_max = jnp.maximum(e_max, proj(sin_a, cos_a, was_ref[...], wac_ref[...]))
-
-    dwas = jnp.zeros_like(dwds)
-    dwac = jnp.zeros_like(dwdc)
-    taken = jnp.zeros(de.shape, dtype=jnp.bool_)
-    for k in range(angle_k):
-        sin_a, cos_a = bases[k]
-        e_k = proj(sin_a, cos_a, was_ref[...], wac_ref[...])
-        mask = jnp.logical_and(e_k >= e_max, jnp.logical_not(taken))
-        taken = jnp.logical_or(taken, mask)
-        cot = jnp.where(mask, de, 0.0)
-        dwas = dwas + wgrad(sin_a, cot)
-        dwac = dwac + wgrad(cos_a, cot)
-
-    db = jnp.sum(de.astype(jnp.float32), axis=(0, 1))[None, :]  # (1, C)
-
-    @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
-    def _init():
-        dwds_ref[...] = jnp.zeros_like(dwds_ref)
-        dwdc_ref[...] = jnp.zeros_like(dwdc_ref)
-        dwas_ref[...] = jnp.zeros_like(dwas_ref)
-        dwac_ref[...] = jnp.zeros_like(dwac_ref)
-        db_ref[...] = jnp.zeros_like(db_ref)
-
-    dwds_ref[...] += dwds
-    dwdc_ref[...] += dwdc
-    dwas_ref[...] += dwas
-    dwac_ref[...] += dwac
-    db_ref[...] += db
-
-
-def _gse_bwd(d_indices, a_indices, w_a, hidden_dim, de, tile_n=32, tile_m=128,
-             interpret=None):
-    """Parameter cotangents (dW_d, db_d, dW_a, db_a) for gse_embedding."""
-    n, m = d_indices.shape
-    angle_k = a_indices.shape[0]
-    c = hidden_dim
-    f = c // 2
-
-    div_indices = np.arange(0, c, 2, dtype=np.float32)
-    div_term = jnp.asarray(
-        np.exp(div_indices * (-np.log(10000.0) / c))[None, :]
-    )
-    bf = jnp.bfloat16
-    w_a_sin, w_a_cos = w_a[0::2].astype(bf), w_a[1::2].astype(bf)
-
-    pad_n = -(-n // tile_n) * tile_n
-    pad_m = -(-m // tile_m) * tile_m
-    if pad_n != n or pad_m != m:
-        d_indices = jnp.pad(d_indices, ((0, pad_n - n), (0, pad_m - m)))
-        a_indices = jnp.pad(a_indices, ((0, 0), (0, pad_n - n), (0, pad_m - m)))
-        de = jnp.pad(de, ((0, pad_n - n), (0, pad_m - m), (0, 0)))
-
-    if interpret is None:
-        interpret = jax.devices()[0].platform != "tpu"
-    kernel = functools.partial(_gse_bwd_kernel, angle_k=angle_k)
-    acc_spec = pl.BlockSpec((f, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
-    dwds, dwdc, dwas, dwac, db = pl.pallas_call(
-        kernel,
-        grid=(pad_n // tile_n, pad_m // tile_m),
-        in_specs=[
-            pl.BlockSpec((tile_n, tile_m), lambda i, j: (i, j), memory_space=pltpu.VMEM),
-            pl.BlockSpec(
-                (angle_k, tile_n, tile_m), lambda i, j: (0, i, j),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec(
-                (tile_n, tile_m, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
-            ),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            acc_spec, acc_spec, acc_spec, acc_spec,
-            pl.BlockSpec((1, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
-        ],
-        out_shape=[
-            jax.ShapeDtypeStruct((f, c), jnp.float32),
-            jax.ShapeDtypeStruct((f, c), jnp.float32),
-            jax.ShapeDtypeStruct((f, c), jnp.float32),
-            jax.ShapeDtypeStruct((f, c), jnp.float32),
-            jax.ShapeDtypeStruct((1, c), jnp.float32),
-        ],
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(d_indices, a_indices, de, div_term, w_a_sin, w_a_cos)
-
-    # re-interleave the sin/cos row halves
-    dw_d = jnp.zeros((c, c), jnp.float32).at[0::2].set(dwds).at[1::2].set(dwdc)
-    dw_a = jnp.zeros((c, c), jnp.float32).at[0::2].set(dwas).at[1::2].set(dwac)
-    db = db[0]
-    return dw_d, db, dw_a, db
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
-def gse_embedding_diff(d_indices, a_indices, w_d, b_d, w_a, b_a, hidden_dim):
-    """Differentiable fused GSE embedding (gradients for the projection
-    parameters only; the index maps are treated as constants, matching the
-    reference's no_grad embedding indices)."""
-    return gse_embedding(d_indices, a_indices, w_d, b_d, w_a, b_a, hidden_dim)
-
-
-def _gse_diff_fwd(d_indices, a_indices, w_d, b_d, w_a, b_a, hidden_dim):
-    out = gse_embedding(d_indices, a_indices, w_d, b_d, w_a, b_a, hidden_dim)
-    return out, (d_indices, a_indices, w_a)
-
-
-def _gse_diff_bwd(hidden_dim, res, de):
-    d_indices, a_indices, w_a = res
-    dw_d, db_d, dw_a, db_a = _gse_bwd(d_indices, a_indices, w_a, hidden_dim, de)
-    return (None, None, dw_d, db_d, dw_a, db_a)
-
-
-gse_embedding_diff.defvjp(_gse_diff_fwd, _gse_diff_bwd)
-
-
-# ---------------------------------------------------------------------------
-# Full fusion: distances AND triplet angles computed in-kernel from raw
-# points, so no (B, N, N, *) tensor of any kind ever reaches HBM (the XLA
-# angle computation materialized ~134MB of lane-padded (N, N, 3) vectors per
-# cloud). Inputs are the augmented points and the per-node k-NN reference
-# vectors; everything else matches the index-based kernel above.
-# ---------------------------------------------------------------------------
 
 
 def _fast_atan2_nonneg(y, x):
