@@ -52,7 +52,7 @@ def main():
 
     bb = KPConvFPN(cfg.backbone.input_dim, cfg.backbone.output_dim, cfg.backbone.init_dim,
                    cfg.backbone.kernel_size, cfg.backbone.init_radius, cfg.backbone.init_sigma,
-                   cfg.backbone.group_norm, num_stages=4, first_fine_stage=1)
+                   cfg.backbone.group_norm, num_stages=4, first_fine_stage=1, use_pallas=True)
     bb_vars = jax.jit(lambda r, f, b: bb.init(r, f, b))(jax.random.PRNGKey(0), batch["features"], batch)
     ms = fetch_diff_ms(
         lambda v, f, b: bb.apply(v, f, b),
@@ -65,7 +65,8 @@ def main():
     tr = GeometricTransformer(cfg.geotransformer.input_dim, cfg.geotransformer.output_dim,
                               cfg.geotransformer.hidden_dim, cfg.geotransformer.num_heads,
                               cfg.geotransformer.blocks, cfg.geotransformer.sigma_d,
-                              cfg.geotransformer.sigma_a, cfg.geotransformer.angle_k)
+                              cfg.geotransformer.sigma_a, cfg.geotransformer.angle_k,
+                              use_pallas=True)
     rp, sp = batch["points"][3][None, :cap_c], batch["points"][3][None, cap_c:]
     rm, sm = batch["masks"][3][None, :cap_c], batch["masks"][3][None, cap_c:]
     rf = jnp.ones((1, cap_c, 1024)) * 0.01
