@@ -53,7 +53,13 @@ class Trainer:
         max_checkpoints=None,
         tensorboard=True,
         profile_steps=None,
+        debug_nans=False,
     ):
+        if debug_nans:
+            # jax equivalent of the reference's autograd anomaly detection
+            # (base_trainer.py:37,80-86 / utils/torch.py:94): every jitted
+            # call re-checks outputs for NaN and raises with a traceback.
+            jax.config.update("jax_debug_nans", True)
         self.cfg = cfg
         self.model = model
         self.train_loader = train_loader
