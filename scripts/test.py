@@ -33,6 +33,10 @@ def main():
                         help="convert a reference .pth.tar instead of a checkpoint")
     parser.add_argument("--output_dir", default=None)
     parser.add_argument("--num_workers", type=int, default=8)
+    parser.add_argument("--cap_buckets", type=int, default=0,
+                        help="calibrate N capacity buckets over the dataset "
+                             "(pairs pad to the smallest fitting bucket; at "
+                             "most N compiled executables). 0 = config caps.")
     args = parser.parse_args()
 
     cfg = make_config(args.dataset)
@@ -55,12 +59,24 @@ def main():
             keep_ratio=0.7, twice_sample=True, deterministic=True,
         )
 
+    stage_caps = cfg.caps.stage_caps
+    if args.cap_buckets > 0:
+        from geotransformer_tpu.preprocess import calibrate_stage_cap_buckets
+
+        stage_caps = calibrate_stage_cap_buckets(
+            (dataset[i] for i in range(len(dataset))),
+            cfg.backbone.num_stages, cfg.backbone.init_voxel_size,
+            cfg.backbone.init_radius, list(cfg.caps.neighbor_limits),
+            num_buckets=args.cap_buckets,
+        )
+        print(f"capacity buckets: {stage_caps}")
+
     pipeline_cfg = dict(
         num_stages=cfg.backbone.num_stages,
         voxel_size=cfg.backbone.init_voxel_size,
         search_radius=cfg.backbone.init_radius,
         neighbor_limits=cfg.caps.neighbor_limits,
-        stage_caps=cfg.caps.stage_caps,
+        stage_caps=stage_caps,
         input_dim=cfg.backbone.input_dim,
     )
     loader = PairLoader(dataset, pipeline_cfg, batch_size=1, num_workers=args.num_workers)
