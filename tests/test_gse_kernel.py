@@ -68,3 +68,26 @@ class TestGSEGradients:
                     b / scale, a / scale, atol=5e-2,
                     err_msg=f"{name}/{leaf}",
                 )
+
+
+class TestGSEShapes:
+    """Kernel parity across the shipped config dimensions (interpret mode)."""
+
+    def _check(self, rng, n, hidden, sigma_d, sigma_a, k):
+        points = jnp.asarray(rng.uniform(0, 2, (1, n, 3)), jnp.float32)
+        xla = GeometricStructureEmbedding(hidden, sigma_d, sigma_a, k)
+        fused = GeometricStructureEmbedding(hidden, sigma_d, sigma_a, k, use_pallas=True)
+        variables = xla.init(jax.random.PRNGKey(1), points)
+        want = np.asarray(xla.apply(variables, points))
+        got = np.asarray(fused.apply(variables, points))
+        np.testing.assert_allclose(got, want, rtol=2e-2, atol=1e-2)
+
+    def test_kitti_dims(self, rng):
+        # hidden 128, sigma_d 4.8 (kitti config), odd N exercising padding
+        self._check(rng, n=77, hidden=128, sigma_d=4.8, sigma_a=15.0, k=3)
+
+    def test_modelnet_dims(self, rng):
+        self._check(rng, n=33, hidden=64, sigma_d=0.1, sigma_a=15.0, k=3)
+
+    def test_angle_k_2(self, rng):
+        self._check(rng, n=50, hidden=64, sigma_d=0.2, sigma_a=15.0, k=2)
