@@ -39,6 +39,9 @@ class KPConvFPN(nn.Module):
     num_stages: int = 4
     first_fine_stage: int = 1  # stage index the last decoder emits (0-based)
     use_pallas: bool = False  # fused KPConv kernels (inference on TPU)
+    # true (pre-sublane-alignment) neighbor limits per stage; bounds the
+    # strided shortcut maxpool so alignment sentinels don't 0-clamp full rows
+    neighbor_limits: tuple = ()
 
     @nn.compact
     def __call__(self, feats, batch):
@@ -76,9 +79,13 @@ class KPConvFPN(nn.Module):
                     use_pallas=self.use_pallas, name="encoder1_2",
                 )(x, points[0], points[0], neighbors[0], masks[0], masks[0])
             else:
+                pool_cols = (
+                    self.neighbor_limits[i - 1] if self.neighbor_limits else None
+                )
                 x = ResidualBlock(
                     cdim, cdim, k, radius / 2, sigma / 2, self.group_norm,
                     strided=True, use_pallas=self.use_pallas,
+                    pool_cols=pool_cols,
                     name=f"encoder{i + 1}_1",
                 )(x, points[i], points[i - 1], subsampling[i - 1], masks[i], masks[i - 1])
                 x = ResidualBlock(

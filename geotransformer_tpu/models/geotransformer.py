@@ -115,6 +115,7 @@ class GeoTransformer(nn.Module):
             num_stages=cfg.backbone.num_stages,
             first_fine_stage=fine,
             use_pallas=on_tpu,  # differentiable (custom_vjp, XLA backward)
+            neighbor_limits=tuple(cfg.caps.neighbor_limits),
             name="backbone",
         )(batch["features"], batch)
         feats_c = feats_list[-1]

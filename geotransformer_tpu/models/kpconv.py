@@ -12,6 +12,8 @@ Kernel points live in the ``constants`` variable collection (the reference
 registers them as a non-trainable buffer, kpconv.py:65).
 """
 
+from typing import Optional
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -129,9 +131,17 @@ def leaky_relu(x):
     return nn.leaky_relu(x, negative_slope=0.1)
 
 
-def maxpool(s_feats, neighbor_indices):
+def maxpool(s_feats, neighbor_indices, valid_cols=None):
     """Max over neighbor features with a zero shadow row (reference
-    functional.py:54-67 — note the implicit clamp at 0 from the shadow)."""
+    functional.py:54-67 — note the implicit clamp at 0 from the shadow).
+
+    `valid_cols` restricts the pool to the first columns: neighbor tables
+    may carry extra sublane-alignment sentinel columns (preprocess), and the
+    reference's implicit 0-clamp must only apply to rows that are underfull
+    within its own neighbor limit.
+    """
+    if valid_cols is not None:
+        neighbor_indices = neighbor_indices[:, :valid_cols]
     neighbor_feats = gather_with_shadow(s_feats, neighbor_indices, 0.0)
     return jnp.max(neighbor_feats, axis=1)
 
@@ -214,6 +224,7 @@ class ResidualBlock(nn.Module):
     group_norm: int
     strided: bool = False
     use_pallas: bool = False
+    pool_cols: Optional[int] = None  # true (pre-alignment) neighbor limit
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_mask=None, s_mask=None):
@@ -236,7 +247,11 @@ class ResidualBlock(nn.Module):
         x = UnaryBlock(mid_channels, self.out_channels, self.group_norm,
                        has_relu=False, name="unary2")(x, q_mask)
 
-        shortcut = maxpool(s_feats, neighbor_indices) if self.strided else s_feats
+        shortcut = (
+            maxpool(s_feats, neighbor_indices, valid_cols=self.pool_cols)
+            if self.strided
+            else s_feats
+        )
         if self.in_channels != self.out_channels:
             shortcut = UnaryBlock(
                 self.in_channels, self.out_channels, self.group_norm,

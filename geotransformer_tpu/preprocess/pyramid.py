@@ -179,12 +179,11 @@ def pad_registration_batch(pyramid, feats, transform, stage_caps):
         cap_cur, cap_sub = int(stage_caps[i]), int(stage_caps[i + 1])
         sub = _remap_indices(pyramid["subsampling"][i], ref_lens[i], src_lens[i], cap_cur)
         sub = _pad_rows(sub, ref_lens[i + 1], src_lens[i + 1], cap_sub, np.int32(2 * cap_cur))
-        # NOT column-padded: subsampling tables also feed maxpool, whose
-        # zero shadow row must only enter rows that are underfull within the
-        # reference's neighbor limit (reference functional.py:54-67) — extra
-        # sentinel columns would clamp full rows at 0. The strided KPConv
-        # re-pads in-kernel, where shadow columns are exactly neutral.
-        out["subsampling"].append(sub)
+        # Column padding is safe for the strided KPConv (shadow columns are
+        # exactly neutral) but maxpool must be told the true width: its zero
+        # shadow row may only enter rows underfull within the reference's
+        # neighbor limit (functional.py:54-67) — see KPConvFPN.neighbor_limits.
+        out["subsampling"].append(_pad_cols_to_sublane(sub, np.int32(2 * cap_cur)))
         up = _remap_indices(pyramid["upsampling"][i], ref_lens[i + 1], src_lens[i + 1], cap_sub)
         up = _pad_rows(up, ref_lens[i], src_lens[i], cap_cur, np.int32(2 * cap_sub))
         out["upsampling"].append(_pad_cols_to_sublane(up, np.int32(2 * cap_sub)))
