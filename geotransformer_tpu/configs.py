@@ -39,6 +39,10 @@ class ModelConfig:
     num_points_in_patch: int = 64
     num_sinkhorn_iterations: int = 100
     fine_level: int = 1  # pyramid stage of the fine features (0 for ModelNet)
+    # None: Pallas kernels on TPU, XLA elsewhere (the default).
+    # True/False: force — True off-TPU runs the kernels in interpret mode
+    # (slow; used by the CPU end-to-end consistency test).
+    force_pallas: "bool | None" = None
 
 
 @dataclass(frozen=True)
@@ -155,6 +159,9 @@ class GeoTransformerConfig:
 
     def with_caps(self, **kwargs):
         return replace(self, caps=replace(self.caps, **kwargs))
+
+    def with_model(self, **kwargs):
+        return replace(self, model=replace(self.model, **kwargs))
 
 
 def make_3dmatch_config():

@@ -104,6 +104,8 @@ class GeoTransformer(nn.Module):
 
         # 2. KPConv feature pyramid over the stacked pair.
         on_tpu = jax.devices()[0].platform == "tpu"
+        if cfg.model.force_pallas is not None:
+            on_tpu = cfg.model.force_pallas
         feats_list = KPConvFPN(
             cfg.backbone.input_dim,
             cfg.backbone.output_dim,
