@@ -48,7 +48,8 @@ def _estimate(method, data, ref_corr, src_corr, scores, args):
 
         return np.asarray(
             weighted_procrustes(
-                jnp.asarray(src_corr), jnp.asarray(ref_corr), jnp.asarray(scores)
+                jnp.asarray(src_corr), jnp.asarray(ref_corr), jnp.asarray(scores),
+                return_transform=True,
             )
         )
     raise ValueError(f"Unsupported registration method: {method}")

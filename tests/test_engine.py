@@ -165,3 +165,50 @@ class TestTrainerAndTester:
             data["ref_corr_points"], data["src_corr_points"], data["transform"]
         )
         assert 0.0 <= fine["inlier_ratio"] <= 1.0
+
+
+class TestEvalScripts:
+    def _dump(self, tmp_path, n_pairs=2):
+        """Synthetic npz feature dumps in the tester's layout."""
+        import glob
+        rng = np.random.default_rng(5)
+        scene = tmp_path / "features" / "scene_a"
+        scene.mkdir(parents=True)
+        for i in range(n_pairs):
+            nc, k = 20, 64
+            ref_c = rng.normal(size=(nc, 3)).astype(np.float32)
+            src_c = ref_c + 0.01 * rng.normal(size=(nc, 3)).astype(np.float32)
+            corr = rng.normal(size=(k, 3)).astype(np.float32)
+            np.savez(
+                scene / f"{i}_{i + 1}.npz",
+                ref_points_c=ref_c, src_points_c=src_c,
+                ref_node_corr_indices=rng.integers(0, nc, 8),
+                src_node_corr_indices=rng.integers(0, nc, 8),
+                gt_node_corr_indices=np.stack(
+                    [np.arange(8), np.arange(8)], 1
+                ),
+                ref_corr_points=corr,
+                src_corr_points=corr + 0.001,
+                corr_scores=rng.uniform(0.1, 1, k).astype(np.float32),
+                transform=np.eye(4, dtype=np.float32),
+                estimated_transform=np.eye(4, dtype=np.float32),
+            )
+        return str(tmp_path / "features")
+
+    def test_eval_dgr_runs(self, tmp_path):
+        import subprocess, sys, os.path as osp
+
+        feature_dir = self._dump(tmp_path)
+        script = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                          "scripts", "eval_dgr.py")
+        for method in ("lgr", "svd"):
+            r = subprocess.run(
+                [sys.executable, script, "--feature_dir", feature_dir,
+                 "--method", method],
+                capture_output=True, text=True,
+                env={**__import__("os").environ, "JAX_PLATFORMS": "cpu"},
+            )
+            assert r.returncode == 0, r.stderr[-500:]
+            assert "overall (DGR protocol)" in r.stdout
+            # identity estimate vs identity gt: perfect recall
+            assert "RR       : 1.0000" in r.stdout, r.stdout[-400:]
