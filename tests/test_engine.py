@@ -212,3 +212,18 @@ class TestEvalScripts:
             assert "overall (DGR protocol)" in r.stdout
             # identity estimate vs identity gt: perfect recall
             assert "RR       : 1.0000" in r.stdout, r.stdout[-400:]
+
+    def test_eval_script_runs(self, tmp_path):
+        import subprocess, sys, os, os.path as osp
+
+        feature_dir = self._dump(tmp_path)
+        script = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                          "scripts", "eval.py")
+        r = subprocess.run(
+            [sys.executable, script, "--dataset", "kitti",
+             "--feature_dir", feature_dir],
+            capture_output=True, text=True,
+            env={**os.environ, "JAX_PLATFORMS": "cpu"},
+        )
+        assert r.returncode == 0, r.stderr[-500:]
+        assert "RR: 1.0000" in r.stdout, r.stdout[-400:]
