@@ -45,7 +45,7 @@ class CheckpointManager:
         return self._manager.latest_step()
 
     def restore(self, state_template, step=None):
-        """Restore into the structure of `state_template`. Returns (state, metadata)."""
+        """Restore into the structure of `state_template`. Returns (state, step)."""
         step = step if step is not None else self.latest_step()
         if step is None:
             raise FileNotFoundError(f"no checkpoint found in {self.directory}")

@@ -44,7 +44,15 @@ def _rotation_from_covariance_quat(H, num_iterations=30):
     Ks = K + lam[:, None, None] * jnp.eye(4, dtype=K.dtype)
     K2 = jnp.einsum("bij,bjk->bik", Ks, Ks)
 
-    q = jnp.full((K.shape[0], 4), 0.5, dtype=K.dtype)
+    # Start from the column of the shifted matrix with the largest diagonal
+    # (the standard closed-form quaternion-extraction pivot): its projection
+    # onto the dominant eigenvector is bounded away from zero, unlike a fixed
+    # start vector, which is exactly orthogonal to it for some 180-degree
+    # rotations (w=0, x+y+z=0).
+    diag = jnp.diagonal(Ks, axis1=-2, axis2=-1)  # (B, 4)
+    pivot = jnp.argmax(diag, axis=-1)  # (B,)
+    q = jnp.take_along_axis(Ks, pivot[:, None, None], axis=-1)[:, :, 0]
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-30)
     for _ in range(num_iterations):
         q = jnp.einsum("bij,bj->bi", K2, q)
         q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-30)

@@ -20,6 +20,12 @@ def make_mesh(num_devices=None, devices=None):
     if devices is None:
         devices = jax.devices()
     if num_devices is not None:
+        if num_devices > len(devices):
+            raise ValueError(
+                f"requested a {num_devices}-device mesh but only "
+                f"{len(devices)} devices are available; a smaller mesh would "
+                "silently mis-shard the per-pair batch (one pair per device)"
+            )
         devices = devices[:num_devices]
     return Mesh(np.asarray(devices), (DATA_AXIS,))
 

@@ -16,10 +16,15 @@ import jax.numpy as jnp
 import optax
 from flax import struct
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
 
 from geotransformer_tpu.losses.overall import overall_loss
 from geotransformer_tpu.parallel.mesh import DATA_AXIS
+
+
+def _shard_map(f, mesh, in_specs, out_specs):
+    return jax.shard_map(
+        f, mesh=mesh, in_specs=in_specs, out_specs=out_specs, check_vma=False
+    )
 
 
 class TrainState(struct.PyTreeNode):
@@ -119,20 +124,23 @@ def make_train_step(model, cfg, tx, mesh=None, check_finite=True):
         if mesh is not None:
             grads = jax.lax.pmean(grads, DATA_AXIS)
             aux = jax.lax.pmean(aux, DATA_AXIS)
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
         if check_finite:
             # NaN/Inf gradient guard (reference base_trainer.py:219-227):
-            # skip the update when any gradient is non-finite.
+            # a skipped step must leave params AND optimizer state untouched
+            # (the reference skips optimizer.step() entirely), so select the
+            # previous values rather than zeroing gradients — zeroed grads
+            # would still apply weight decay and advance Adam moments.
             finite = jnp.all(
                 jnp.asarray(
                     [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]
                 )
             )
-            grads = jax.tree.map(
-                lambda g: jnp.where(finite, g, jnp.zeros_like(g)), grads
-            )
+            keep = lambda new, old: jnp.where(finite, new, old)
+            new_params = jax.tree.map(keep, new_params, state.params)
+            new_opt_state = jax.tree.map(keep, new_opt_state, state.opt_state)
             aux = dict(aux, grad_finite=finite.astype(jnp.float32))
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
         new_state = state.replace(
             step=state.step + 1, params=new_params, opt_state=new_opt_state
         )
@@ -142,12 +150,11 @@ def make_train_step(model, cfg, tx, mesh=None, check_finite=True):
         return jax.jit(device_step)
 
     state_spec = P()
-    sharded = shard_map(
+    sharded = _shard_map(
         device_step,
         mesh=mesh,
         in_specs=(state_spec, P(DATA_AXIS), state_spec),
         out_specs=(state_spec, state_spec),
-        check_rep=False,
     )
     return jax.jit(sharded)
 
@@ -169,12 +176,11 @@ def make_eval_step(model, cfg, mesh=None):
 
     if mesh is None:
         return jax.jit(device_step)
-    sharded = shard_map(
+    sharded = _shard_map(
         device_step,
         mesh=mesh,
         in_specs=(P(), P(DATA_AXIS)),
         out_specs=P(),
-        check_rep=False,
     )
     return jax.jit(sharded)
 
