@@ -227,3 +227,33 @@ class TestEvalScripts:
         )
         assert r.returncode == 0, r.stderr[-500:]
         assert "RR: 1.0000" in r.stdout, r.stdout[-400:]
+        assert "Per scene:" in r.stdout and "scene_a" in r.stdout
+        assert "median_RRE" in r.stdout
+
+    def test_eval_script_method_switch(self, tmp_path):
+        """--method {svd,ransac} re-estimates instead of reading the stored
+        transform (reference eval.py:166-186). The dump's correspondences are
+        a perfect identity match, so both must yield RR=1 even though we
+        poison the stored estimated_transform."""
+        import subprocess, sys, os, glob, os.path as osp
+
+        feature_dir = self._dump(tmp_path)
+        for f in glob.glob(osp.join(feature_dir, "*", "*.npz")):
+            data = dict(np.load(f))
+            bad = np.eye(4, dtype=np.float32)
+            bad[:3, 3] = 100.0  # lgr method would fail with this
+            data["estimated_transform"] = bad
+            np.savez(f, **data)
+        script = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))),
+                          "scripts", "eval.py")
+        for method, expected in (("svd", "RR: 1.0000"), ("ransac", "RR: 1.0000"),
+                                 ("lgr", "RR: 0.0000")):
+            r = subprocess.run(
+                [sys.executable, script, "--dataset", "kitti",
+                 "--feature_dir", feature_dir, "--method", method,
+                 "--num_corr", "32"],
+                capture_output=True, text=True,
+                env={**os.environ, "JAX_PLATFORMS": "cpu"},
+            )
+            assert r.returncode == 0, r.stderr[-500:]
+            assert expected in r.stdout, (method, r.stdout[-400:])

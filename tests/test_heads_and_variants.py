@@ -129,6 +129,47 @@ class TestRansac:
         assert est.shape == (4, 4)
         np.testing.assert_allclose(est[:3, 3], [0.5, 0, 0], atol=1e-5)
 
+    def test_ransac_from_featurematch(self):
+        """Feature-matching RANSAC (reference utils/open3d.py:133-168):
+        recovers the pose from descriptors alone, incl. with a fraction of
+        ambiguous (duplicate) descriptors."""
+        from geotransformer_tpu.utils.ransac import (
+            registration_with_ransac_from_featurematch,
+        )
+        from geotransformer_tpu.utils.pointcloud import (
+            random_sample_transform,
+            apply_transform,
+        )
+        from geotransformer_tpu.utils.registration import compute_registration_error
+
+        rng = np.random.default_rng(7)
+        T = random_sample_transform(45.0, 0.5)
+        src = rng.uniform(0, 1, (300, 3))
+        ref = apply_transform(src, T)
+        feats = rng.normal(size=(300, 32)).astype(np.float32)
+        src_feats = feats + 0.01 * rng.normal(size=feats.shape).astype(np.float32)
+        # make 20% of descriptors ambiguous (copies of other rows)
+        dup = rng.integers(0, 300, 60)
+        src_feats[:60] = feats[dup] + 0.01 * rng.normal(size=(60, 32))
+        est = registration_with_ransac_from_featurematch(
+            src, ref, src_feats, feats,
+            distance_threshold=0.05, num_iterations=2000,
+        )
+        rre, rte = compute_registration_error(T, est)
+        assert rre < 0.5 and rte < 0.01
+
+    def test_ransac_from_featurematch_few_points(self):
+        from geotransformer_tpu.utils.ransac import (
+            registration_with_ransac_from_featurematch,
+        )
+
+        src = np.asarray([[0, 0, 0], [1, 0, 0]], np.float32)
+        ref = src + np.asarray([0.5, 0, 0], np.float32)
+        feats = np.asarray([[1, 0], [0, 1]], np.float32)
+        est = registration_with_ransac_from_featurematch(src, ref, feats, feats)
+        assert est.shape == (4, 4)
+        np.testing.assert_allclose(est[:3, 3], [0.5, 0, 0], atol=1e-5)
+
 
 class TestQuaternionProcrustes:
     """quat (TPU latency path) vs svd Kabsch on clean / noisy / planar sets."""
