@@ -4,9 +4,8 @@ The XLA path of :class:`geotransformer_tpu.models.kpconv.KPConv` materializes
 three (M, H, K)/(M, K, C)-sized intermediates in HBM (kernel influences,
 weighted neighbor features) around two poorly-shaped batched matmuls. At
 stage-0 scale (M=38k, H=38) that costs ~6 ms per convolution. This kernel
-receives ONE well-shaped gathered block per query tile — neighbor features
-concatenated with neighbor coordinates and squared norms — and performs the
-whole convolution in VMEM:
+receives ONE gathered block per query tile — neighbor coordinates and
+features — and performs the whole convolution in VMEM:
 
     offsets  = s[h] - q                       (TM, H, 3)
     sq       = |offsets - kp_k|^2             (TM, H, K) expanded, never in HBM
@@ -17,9 +16,14 @@ whole convolution in VMEM:
 Only the gathered block (read once) and the (M, C_out) result touch HBM.
 
 Layout: the gather input G has lanes [s_x, s_y, s_z, |s|^2, 0,0,0,0,
-feats...] so the aug part occupies lanes [0, 8) and features [8, 8+C).
+feats...] so the aug part occupies lanes [0, 8) and features [8, 8+C);
+a strided block's pool features ride the same gather after the conv
+features (the XLA gather engine cost is per ROW, so extra lanes are free,
+while a separate maxpool gather would pay the full row cost again).
 Shadow neighbors are all-zero rows: their features contribute nothing and
 the feature-sum neighbor count excludes them, exactly like the XLA path.
+(A bf16 table with hi/lo-split coordinates was measured: the gather is
+engine-row-bound, not byte-bound, so it saved nothing and cost precision.)
 """
 
 import functools
@@ -34,8 +38,19 @@ from geotransformer_tpu.ops.gather import gather_with_shadow
 _AUG = 8  # lanes reserved for [s(3), |s|^2(1), padding(4)]
 
 
-def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *, num_kernel_points, c_in, sigma):
-    g = g_ref[...]  # (TM, H, AUG + C)
+def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *pool_ref,
+                   num_kernel_points, c_in, sigma, pool_cols=None):
+    k = num_kernel_points
+    if pool_ref:
+        # Fused strided-shortcut maxpool (reference modules.py:216-218 +
+        # functional.py:54-67): the trailing lanes of the gathered block
+        # hold the *unprojected* input features; max over the true
+        # (pre-sublane-alignment) neighbor columns. Shadow rows are zero in
+        # the gathered block, reproducing the reference's implicit 0-clamp.
+        cols = pool_cols if pool_cols is not None else g_ref.shape[1]
+        pool_block = g_ref[...][:, :cols, _AUG + c_in :]
+        pool_ref[0][...] = jnp.max(pool_block, axis=1)
+    g = g_ref[...][:, :, : _AUG + c_in]  # (TM, H, AUG + C)
     q = q_ref[...]  # (TM, AUG) — lanes [q(3), |q|^2(1), ...]
     kp = kp_ref[...]  # (K, AUG) — lanes [kp(3), |kp|^2(1), ...]
 
@@ -55,7 +70,7 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *, num_kernel_points, c
     s_dot_kp = jax.lax.dot_general(
         sp.reshape(tm * h, 3), kp[:, :3].T,
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ).reshape(tm, h, num_kernel_points)  # (TM, H, K)
+    ).reshape(tm, h, k)  # (TM, H, K)
     q_dot_kp = jax.lax.dot_general(
         qp, kp[:, :3].T, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -99,9 +114,9 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *, num_kernel_points, c
         preferred_element_type=jnp.float32,
     )  # (TM, K, C)
     acc = jnp.zeros((tm, w_ref.shape[2]), dtype=jnp.float32)
-    for k in range(num_kernel_points):
+    for kk in range(num_kernel_points):
         acc = acc + jax.lax.dot_general(
-            t[:, k, :], w_ref[k], (((1,), (0,)), ((), ())),
+            t[:, kk, :], w_ref[kk], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
     out_ref[...] = acc / count[:, None]
@@ -110,6 +125,7 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *, num_kernel_points, c
 def kpconv_fused(
     s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
     sigma, bias=None, tile_m=128, interpret=None, return_gathered=False,
+    pool_feats=None, pool_cols=None,
 ):
     """Fused KPConv forward.
 
@@ -126,12 +142,18 @@ def kpconv_fused(
         return_gathered: also return the gathered block (M, H, AUG+C) and
             the sublane-padded neighbor table (for custom_vjp residuals —
             keeping it alive saves the backward's re-gather).
+        pool_feats: optional (N, C_pool) features to max-pool over the SAME
+            neighbor table inside the kernel (the strided ResidualBlock
+            shortcut) — rides the one gather instead of paying a second.
+        pool_cols: true (pre-alignment) neighbor limit bounding the pool.
 
     Returns:
-        (M, C_out) float32 features [, gathered block, padded indices].
+        (M, C_out) float32 features [, (M, C_pool) pooled feats]
+        [, gathered block, padded indices].
     """
     m = q_points.shape[0]
     k, c_in, c_out = weights.shape
+    c_pool = 0 if pool_feats is None else pool_feats.shape[1]
 
     # Pad the neighbor axis to a sublane multiple (8) with shadow indices:
     # otherwise the (M*H, C) gather output and its (M, H, C) view have
@@ -145,17 +167,17 @@ def kpconv_fused(
             constant_values=s_points.shape[0],
         )
 
-    # Combined gather: [s(3), |s|^2(1), pad(4), feats(C)] per support point.
-    aug_support = jnp.concatenate(
-        [
-            s_points,
-            jnp.sum(s_points**2, axis=-1, keepdims=True),
-            jnp.zeros((s_points.shape[0], _AUG - 4), s_points.dtype),
-            s_feats,
-        ],
-        axis=1,
-    )  # (N, AUG + C)
-    g = gather_with_shadow(aug_support, neighbor_indices, 0.0)  # (M, H, AUG+C)
+    # Combined gather: [s(3), |s|^2(1), pad(4), feats(C) [, pool(Cp)]].
+    aug_parts = [
+        s_points,
+        jnp.sum(s_points**2, axis=-1, keepdims=True),
+        jnp.zeros((s_points.shape[0], _AUG - 4), s_points.dtype),
+        s_feats,
+    ]
+    if pool_feats is not None:
+        aug_parts.append(pool_feats)
+    aug_support = jnp.concatenate(aug_parts, axis=1)  # (N, AUG + C [+ Cp])
+    g = gather_with_shadow(aug_support, neighbor_indices, 0.0)
 
     q_aug = jnp.concatenate(
         [
@@ -172,7 +194,7 @@ def kpconv_fused(
             jnp.zeros((k, _AUG - 4), kernel_points.dtype),
         ],
         axis=1,
-    )  # (K, AUG)
+    )  # (K, 8) f32
 
     num_tiles = -(-m // tile_m)
     pad_m = num_tiles * tile_m
@@ -183,8 +205,18 @@ def kpconv_fused(
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
     kernel = functools.partial(
-        _kpconv_kernel, num_kernel_points=k, c_in=c_in, sigma=float(sigma)
+        _kpconv_kernel, num_kernel_points=k, c_in=c_in, sigma=float(sigma),
+        pool_cols=pool_cols,
     )
+    out_specs = pl.BlockSpec(
+        (tile_m, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((pad_m, c_out), jnp.float32)
+    if pool_feats is not None:
+        out_specs = (out_specs, pl.BlockSpec(
+            (tile_m, c_pool), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ))
+        out_shape = (out_shape, jax.ShapeDtypeStruct((pad_m, c_pool), jnp.float32))
     out = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -198,19 +230,21 @@ def kpconv_fused(
             pl.BlockSpec((k, _AUG), lambda i: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec(
-            (tile_m, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM
-        ),
-        out_shape=jax.ShapeDtypeStruct((pad_m, c_out), jnp.float32),
+        out_specs=out_specs,
+        out_shape=out_shape,
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(g, q_aug, kp_aug, weights)
-    out = out[:m]
+    if pool_feats is not None:
+        out, pooled = out[0][:m], out[1][:m]
+    else:
+        out, pooled = out[:m], None
     if bias is not None:
         out = out + bias
+    results = (out,) if pooled is None else (out, pooled)
     if return_gathered:
-        return out, g[:m], neighbor_indices
-    return out
+        results = results + (g[:m], neighbor_indices)
+    return results if len(results) > 1 else results[0]
 
 
 def _influence_and_count_from_gathered(g, q_points, kernel_points, sigma, c_in):
@@ -292,3 +326,60 @@ def _kpconv_diff_bwd(sigma, tile_m, res, dout):
 
 
 kpconv_fused_diff.defvjp(_kpconv_diff_fwd, _kpconv_diff_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 9, 10))
+def kpconv_pool_fused_diff(
+    s_feats, pool_feats, q_points, s_points, neighbor_indices, kernel_points,
+    weights, sigma, bias, tile_m, pool_cols,
+):
+    """Differentiable fused KPConv + strided-shortcut maxpool: one gather,
+    one Pallas kernel, two outputs. Gradients flow to s_feats, pool_feats,
+    weights, and bias."""
+    out, pooled = kpconv_fused(
+        s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
+        sigma, bias=bias, tile_m=tile_m,
+        pool_feats=pool_feats, pool_cols=pool_cols,
+    )
+    return out, pooled
+
+
+def _kpconv_pool_diff_fwd(s_feats, pool_feats, q_points, s_points,
+                          neighbor_indices, kernel_points, weights, sigma,
+                          bias, tile_m, pool_cols):
+    out, pooled, gathered, nb_pad = kpconv_fused(
+        s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
+        sigma, bias=bias, tile_m=tile_m, return_gathered=True,
+        pool_feats=pool_feats, pool_cols=pool_cols,
+    )
+    res = (gathered, q_points, nb_pad, kernel_points, weights,
+           s_feats.shape[0], bias is not None, pooled)
+    return (out, pooled), res
+
+
+def _kpconv_pool_diff_bwd(sigma, tile_m, pool_cols, res, cotangents):
+    dout, dpool = cotangents
+    gathered, q_points, nb_pad, kernel_points, weights, n, has_bias, pooled = res
+    c_in = weights.shape[1]
+    d_s_feats, _, _, _, _, d_weights, d_bias = _kpconv_diff_bwd(
+        sigma, tile_m,
+        (gathered[:, :, : _AUG + c_in], q_points, nb_pad, kernel_points,
+         weights, n, has_bias),
+        dout,
+    )
+    # maxpool backward: distribute evenly over ties, mirroring XLA's
+    # reduce_max VJP on the unfused path (shadow rows land on row n of the
+    # scatter and are dropped by the [:n] slice).
+    cols = pool_cols if pool_cols is not None else gathered.shape[1]
+    pool_block = gathered[:, :cols, _AUG + c_in :]
+    is_max = (pool_block == pooled[:, None, :]).astype(dpool.dtype)
+    is_max = is_max / jnp.maximum(jnp.sum(is_max, axis=1, keepdims=True), 1.0)
+    d_pool_rows = is_max * dpool[:, None, :]  # (M, cols, Cp)
+    d_pool_feats = (
+        jnp.zeros((n + 1, pool_block.shape[2]), d_pool_rows.dtype)
+        .at[nb_pad[:, :cols]].add(d_pool_rows)[:n]
+    )
+    return (d_s_feats, d_pool_feats, None, None, None, None, d_weights, d_bias)
+
+
+kpconv_pool_fused_diff.defvjp(_kpconv_pool_diff_fwd, _kpconv_pool_diff_bwd)

@@ -43,7 +43,8 @@ class KPConv(nn.Module):
     use_pallas: bool = False  # fused VMEM kernel (forward-only; inference)
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices,
+                 pool_feats=None, pool_cols=None):
         """KPConv forward.
 
         Args:
@@ -51,9 +52,13 @@ class KPConv(nn.Module):
             q_points: (M, 3) query points.
             s_points: (N, 3) support points.
             neighbor_indices: (M, H) int32, sentinel == N for missing.
+            pool_feats: optional (N, C_pool) features max-pooled over the
+                same neighbor table inside the fused kernel (strided
+                shortcut); requires use_pallas.
+            pool_cols: true neighbor limit bounding the pool columns.
 
         Returns:
-            (M, C_out) features.
+            (M, C_out) features, or (features, pooled) with pool_feats.
         """
         kernel_points = self.variable(
             "constants",
@@ -67,7 +72,10 @@ class KPConv(nn.Module):
         )
 
         if self.use_pallas:
-            from geotransformer_tpu.kernels.kpconv import kpconv_fused_diff
+            from geotransformer_tpu.kernels.kpconv import (
+                kpconv_fused_diff,
+                kpconv_pool_fused_diff,
+            )
 
             bias = (
                 self.param("bias", nn.initializers.zeros, (self.out_channels,))
@@ -80,10 +88,18 @@ class KPConv(nn.Module):
                 tile_m = 64
             else:
                 tile_m = 32
+            if pool_feats is not None:
+                return kpconv_pool_fused_diff(
+                    s_feats, pool_feats, q_points, s_points, neighbor_indices,
+                    kernel_points, weights, self.sigma, bias, tile_m, pool_cols,
+                )
             return kpconv_fused_diff(
                 s_feats, q_points, s_points, neighbor_indices,
                 kernel_points, weights, self.sigma, bias, tile_m,
             )
+
+        if pool_feats is not None:
+            raise ValueError("pool_feats fusion requires use_pallas=True")
 
         # Neighbor offsets relative to each query (shadow -> huge coordinate).
         neighbors = gather_with_shadow(s_points, neighbor_indices, _SHADOW_COORD)
@@ -237,21 +253,30 @@ class ResidualBlock(nn.Module):
         else:
             x = s_feats
 
-        x = KPConv(
-            mid_channels, mid_channels, self.kernel_size, self.radius, self.sigma,
-            use_bias=True, use_pallas=self.use_pallas, name="KPConv",
-        )(x, q_points, s_points, neighbor_indices)
+        if self.strided and self.use_pallas:
+            # One gather serves both the KPConv and the shortcut maxpool
+            # (same neighbor table) — the separate maxpool gather is the
+            # single largest avoidable op in the stage-1 profile.
+            x, shortcut = KPConv(
+                mid_channels, mid_channels, self.kernel_size, self.radius, self.sigma,
+                use_bias=True, use_pallas=True, name="KPConv",
+            )(x, q_points, s_points, neighbor_indices,
+              pool_feats=s_feats, pool_cols=self.pool_cols)
+        else:
+            x = KPConv(
+                mid_channels, mid_channels, self.kernel_size, self.radius, self.sigma,
+                use_bias=True, use_pallas=self.use_pallas, name="KPConv",
+            )(x, q_points, s_points, neighbor_indices)
+            shortcut = (
+                maxpool(s_feats, neighbor_indices, valid_cols=self.pool_cols)
+                if self.strided
+                else s_feats
+            )
         x = GroupNorm(self.group_norm, mid_channels, name="norm_conv")(x, q_mask)
         x = leaky_relu(x)
 
         x = UnaryBlock(mid_channels, self.out_channels, self.group_norm,
                        has_relu=False, name="unary2")(x, q_mask)
-
-        shortcut = (
-            maxpool(s_feats, neighbor_indices, valid_cols=self.pool_cols)
-            if self.strided
-            else s_feats
-        )
         if self.in_channels != self.out_channels:
             shortcut = UnaryBlock(
                 self.in_channels, self.out_channels, self.group_norm,
