@@ -26,12 +26,13 @@ def _round_up(x, m):
 
 
 def _sinkhorn_kernel(scores_ref, log_mu_ref, log_nu_ref, out_ref, *, num_iterations):
-    # A block of BP patches is processed jointly: each u/v update reduces a
-    # (BP, M1p, N1p) tensor, which keeps the VPU busy — one patch per program
-    # is latency-bound (25k+ dependent tiny reductions for P=256, iters=100).
-    scores = scores_ref[...]  # (BP, M1p, N1p)
-    log_mu = log_mu_ref[...]  # (BP, M1p, 1)
-    log_nu = log_nu_ref[...]  # (BP, 1, N1p)
+    # Patch-on-LANES layout: the block is (M1, N1p, Pp) with the patch axis
+    # on lanes (Pp is a 128-multiple, fully utilized) and the N axis on
+    # sublanes. The patch-on-batch layout (P, M1p, N1p) wastes half the VPU
+    # on the N1->128 lane padding (65 -> 128 for K=64 patches).
+    scores = scores_ref[...]  # (M1, N1p, Pp)
+    log_mu = log_mu_ref[...]  # (M1, 1, Pp)
+    log_nu = log_nu_ref[...]  # (1, N1p, Pp)
 
     def logsumexp(x, axis):
         m = jnp.max(x, axis=axis, keepdims=True)
@@ -39,8 +40,8 @@ def _sinkhorn_kernel(scores_ref, log_mu_ref, log_nu_ref, out_ref, *, num_iterati
 
     def body(_, carry):
         u, v = carry
-        u = log_mu - logsumexp(scores + v, 2)  # (BP, M1p, 1)
-        v = log_nu - logsumexp(scores + u, 1)  # (BP, 1, N1p)
+        u = log_mu - logsumexp(scores + v, 1)  # (M1, 1, Pp)
+        v = log_nu - logsumexp(scores + u, 0)  # (1, N1p, Pp)
         return u, v
 
     u0 = jnp.zeros_like(log_mu)
@@ -62,42 +63,38 @@ def sinkhorn_log_iterations(padded_scores, log_mu, log_nu, num_iterations):
         (P, M+1, N+1) final log transport (before the global norm shift).
     """
     p, m1, n1 = padded_scores.shape
-    m1p = _round_up(m1, 8)
-    n1p = _round_up(n1, 128)
+    n1p = _round_up(n1, 8)
+    pp = _round_up(p, 128)
 
-    # Patches per program: enough rows to fill the VPU, bounded by VMEM
-    # (block + double-buffering must stay well under the scoped limit).
-    bp = max(1, min(256, (24 * 1024 * 1024) // (m1p * n1p * 4)))
-    pp = _round_up(p, bp)
-
-    scores_p = jnp.pad(
-        padded_scores,
-        ((0, pp - p), (0, m1p - m1), (0, n1p - n1)),
-        constant_values=-_BIG,
-    )
-    log_mu_p = jnp.pad(
-        log_mu, ((0, pp - p), (0, m1p - m1)), constant_values=-_BIG
-    )
-    log_nu_p = jnp.pad(
-        log_nu, ((0, pp - p), (0, n1p - n1)), constant_values=-_BIG
-    )
-    log_mu_col = log_mu_p[:, :, None]  # (PP, M1p, 1)
-    log_nu_row = log_nu_p[:, None, :]  # (PP, 1, N1p)
+    # Patch-on-lanes layout (M1, N1p, Pp); see the kernel. Both transposes
+    # move ~4 MB — negligible next to 100 VPU iterations over the block.
+    scores_t = jnp.transpose(padded_scores, (1, 2, 0))
+    scores_t = jnp.pad(
+        scores_t, ((0, 0), (0, n1p - n1), (0, pp - p)), constant_values=-_BIG
+    )  # (M1, N1p, Pp)
+    log_mu_t = jnp.pad(
+        jnp.transpose(log_mu, (1, 0))[:, None, :],
+        ((0, 0), (0, 0), (0, pp - p)), constant_values=-_BIG,
+    )  # (M1, 1, Pp)
+    log_nu_t = jnp.pad(
+        jnp.transpose(log_nu, (1, 0))[None, :, :],
+        ((0, 0), (0, n1p - n1), (0, pp - p)), constant_values=-_BIG,
+    )  # (1, N1p, Pp)
 
     kernel = functools.partial(_sinkhorn_kernel, num_iterations=num_iterations)
     out = pl.pallas_call(
         kernel,
-        grid=(pp // bp,),
+        grid=(1,),
         in_specs=[
-            pl.BlockSpec((bp, m1p, n1p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, m1p, 1), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((bp, 1, n1p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m1, n1p, pp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((m1, 1, pp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, n1p, pp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
         ],
         out_specs=pl.BlockSpec(
-            (bp, m1p, n1p), lambda i: (i, 0, 0), memory_space=pltpu.VMEM
+            (m1, n1p, pp), lambda i: (0, 0, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((pp, m1p, n1p), padded_scores.dtype),
+        out_shape=jax.ShapeDtypeStruct((m1, n1p, pp), padded_scores.dtype),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=jax.devices()[0].platform != "tpu",
-    )(scores_p, log_mu_col, log_nu_row)
-    return out[:p, :m1, :n1]
+    )(scores_t, log_mu_t, log_nu_t)
+    return jnp.transpose(out[:, :n1, :p], (2, 0, 1))
