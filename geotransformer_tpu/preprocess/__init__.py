@@ -7,6 +7,10 @@ from geotransformer_tpu.preprocess.pyramid import (
     round_up,
     PAD_COORD,
 )
+from geotransformer_tpu.preprocess.device import (
+    build_pyramid_device,
+    pad_stage0,
+)
 from geotransformer_tpu.preprocess.calibrate import (
     calibrate_neighbor_limits,
     calibrate_stage_caps,

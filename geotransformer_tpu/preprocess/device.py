@@ -1,0 +1,276 @@
+r"""Device-resident pyramid preprocessing (voxel subsample + radius KNN).
+
+On-device, jit-compatible replacement for the host pyramid build
+(:func:`geotransformer_tpu.preprocess.pyramid.build_pyramid` +
+:func:`pad_registration_batch`), re-implementing the reference CPU
+extensions on the TPU itself:
+
+  * grid subsampling
+    (`/root/reference/geotransformer/extensions/cpu/grid_subsampling/grid_subsampling_cpu.cpp:28-75`)
+    becomes a two-key ``lax.sort`` by voxel id + ``segment_sum`` mean — the
+    emitted voxel order (z-major, then y, then x) matches the host paths
+    exactly, so parity is row-for-row, not just set-wise;
+  * fixed-K radius neighbors
+    (`/root/reference/geotransformer/extensions/cpu/radius_neighbors/radius_neighbors_cpu.cpp:29-87`)
+    becomes a query-blocked brute-force distance + exact
+    ``approx_max_k(recall_target=1.0)`` top-K, tiled so only
+    ``(block, C_s)`` distance tiles ever materialize.
+
+Everything is fixed-capacity: clouds live in per-cloud capacity-``C``
+buffers with the sentinel/padding idiom of ``pad_registration_batch``
+(PAD_COORD rows, sentinel index ``2C``), so the full pyramid build jits
+once per capacity signature and runs inside the device step — no host
+preprocessing, no host->device index tables, ~2 orders of magnitude faster
+than the 135 ms/core host build.
+
+Capacity overflows (more occupied voxels than a stage cap) cannot raise
+under jit; :func:`build_pyramid_device` returns a per-stage boolean
+``overflow`` vector the caller must check (the host pipeline's equivalent
+is the ValueError in ``pad_registration_batch``).
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from geotransformer_tpu.preprocess.pyramid import PAD_COORD, round_up
+
+_INT_MAX = jnp.int32(2**31 - 1)
+
+
+def _subsample_cloud(points, n, voxel_size, cap_out):
+    """Voxel-mean subsample one capacity-padded cloud.
+
+    Args:
+        points: (C, 3) float32; rows >= n are padding (any values).
+        n: scalar int32 valid count.
+        voxel_size: static float.
+        cap_out: static output capacity.
+
+    Returns:
+        (out_points (cap_out, 3) float32 — PAD_COORD beyond m,
+         m scalar int32 voxel count,
+         overflow scalar bool — true if m would exceed cap_out).
+    """
+    cap = points.shape[0]
+    valid = jnp.arange(cap) < n
+
+    masked = jnp.where(valid[:, None], points, jnp.inf)
+    origin = jnp.floor(jnp.min(masked, axis=0) / voxel_size) * voxel_size
+    cell = jnp.floor((points - origin) / voxel_size).astype(jnp.int32)
+    cell = jnp.where(valid[:, None], cell, 0)
+    n_x = jnp.max(jnp.where(valid, cell[:, 0], -1)) + 1
+    # Two sort keys (z-cell major, then y*nx+x) avoid the int32 overflow a
+    # single flat id would risk, and reproduce the host paths' emit order
+    # (ascending flat id == z, then y, then x).
+    key_lo = cell[:, 0] + n_x * cell[:, 1]
+    key_hi = jnp.where(valid, cell[:, 2], _INT_MAX)
+    key_lo = jnp.where(valid, key_lo, _INT_MAX)
+
+    key_hi, key_lo, p_x, p_y, p_z = jax.lax.sort(
+        (key_hi, key_lo, points[:, 0], points[:, 1], points[:, 2]), num_keys=2
+    )
+    sorted_pts = jnp.stack([p_x, p_y, p_z], axis=-1)
+    # Valid rows sort before all padding rows (padding keys are INT_MAX).
+    sorted_valid = jnp.arange(cap) < n
+
+    new_voxel = jnp.concatenate([
+        jnp.ones((1,), bool),
+        (key_hi[1:] != key_hi[:-1]) | (key_lo[1:] != key_lo[:-1]),
+    ])
+    new_voxel = new_voxel & sorted_valid
+    seg = jnp.cumsum(new_voxel.astype(jnp.int32)) - 1
+    m = jnp.maximum(seg[-1] + 1, 0) * (n > 0)
+    overflow = m > cap_out
+    # Out-of-range ids (padding rows -> cap_out) are dropped by segment_sum.
+    seg = jnp.where(sorted_valid, seg, cap_out)
+
+    w = sorted_valid.astype(jnp.float32)
+    sums = jax.ops.segment_sum(sorted_pts * w[:, None], seg, num_segments=cap_out)
+    counts = jax.ops.segment_sum(w, seg, num_segments=cap_out)
+    means = sums / jnp.maximum(counts, 1.0)[:, None]
+    out_mask = jnp.arange(cap_out) < m
+    out_points = jnp.where(out_mask[:, None], means, PAD_COORD)
+    return out_points, m.astype(jnp.int32), overflow
+
+
+def _radius_search_cloud(q_points, n_q, s_points, n_s, radius, k, block=512):
+    """Exact fixed-K radius KNN, one capacity-padded cloud pair.
+
+    Args:
+        q_points: (C_q, 3) float32 (PAD rows beyond n_q are fine).
+        s_points: (C_s, 3) float32.
+        n_q, n_s: scalar int32 valid counts.
+        radius: static float search radius.
+        k: static neighbor capacity.
+        block: static query rows per distance tile.
+
+    Returns:
+        (C_q, k) int32 indices into [0, C_s), distance-sorted (self first
+        for q==s searches); sentinel C_s where < k neighbors in `radius`
+        or the query row is padding.
+    """
+    cap_q, cap_s = q_points.shape[0], s_points.shape[0]
+    sentinel = jnp.int32(cap_s)
+    s_valid = jnp.arange(cap_s) < n_s
+    s_masked = jnp.where(s_valid[:, None], s_points, PAD_COORD)
+    s_sq = jnp.sum(s_masked * s_masked, axis=-1)
+    r2 = jnp.float32(radius * radius)
+
+    cap_q_pad = round_up(cap_q, block)
+    q_pad = jnp.pad(q_points, ((0, cap_q_pad - cap_q), (0, 0)))
+    q_blocks = q_pad.reshape(cap_q_pad // block, block, 3)
+
+    k_eff = min(k, cap_s)
+
+    def one_block(q_blk):
+        d2 = (
+            jnp.sum(q_blk * q_blk, axis=-1)[:, None]
+            - 2.0 * jnp.einsum(
+                "nc,mc->nm", q_blk, s_masked,
+                precision=jax.lax.Precision.HIGHEST)
+            + s_sq[None, :]
+        )
+        neg_d2, idx = jax.lax.approx_max_k(-d2, k_eff, recall_target=1.0)
+        found = jnp.where(-neg_d2 <= r2, idx.astype(jnp.int32), sentinel)
+        if k_eff < k:
+            found = jnp.pad(found, ((0, 0), (0, k - k_eff)),
+                            constant_values=sentinel)
+        return found
+
+    out = jax.lax.map(one_block, q_blocks).reshape(cap_q_pad, k)[:cap_q]
+    q_valid = jnp.arange(cap_q) < n_q
+    return jnp.where(q_valid[:, None], out, sentinel)
+
+
+def _to_pair_frame(idx, cloud, cap_s):
+    """Per-cloud indices (+sentinel cap_s) -> padded pair frame (+sentinel 2*cap_s)."""
+    return jnp.where(idx == cap_s, 2 * cap_s, cloud * cap_s + idx).astype(jnp.int32)
+
+
+def _pad_cols(table, sentinel):
+    """Static sublane (8) column padding, mirroring pyramid._pad_cols_to_sublane."""
+    k = table.shape[-1]
+    k_pad = round_up(k, 8)
+    if k_pad == k:
+        return table
+    return jnp.pad(table, ((0, 0), (0, k_pad - k)), constant_values=sentinel)
+
+
+def _pair_search(points_a, lengths_a, points_b, lengths_b, cap_a, cap_b,
+                 radius, k):
+    """Radius KNN for both clouds of a pair, emitted in the padded pair frame.
+
+    ``points_a`` are queries (2, cap_a, 3); ``points_b`` supports.
+    """
+    idx = jax.vmap(
+        lambda q, nq, s, ns: _radius_search_cloud(q, nq, s, ns, radius, k)
+    )(points_a, lengths_a, points_b, lengths_b)
+    idx = jax.vmap(lambda t, c: _to_pair_frame(t, c, cap_b))(
+        idx, jnp.arange(2, dtype=jnp.int32))
+    return _pad_cols(idx.reshape(2 * cap_a, k), jnp.int32(2 * cap_b))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "num_stages", "voxel_size", "radius", "neighbor_limits", "stage_caps"),
+)
+def build_pyramid_device(points, lengths, feats, transform, num_stages,
+                         voxel_size, radius, neighbor_limits, stage_caps):
+    """Full fixed-capacity pyramid build on device.
+
+    Mirrors host ``build_pyramid`` + ``pad_registration_batch``
+    (reference collate: `/root/reference/geotransformer/utils/data.py:13-77`)
+    but runs as one jitted program: stage-0 is the input, stages 1..S-1 are
+    voxel means at doubling voxel size, and all neighbor / subsampling /
+    upsampling tables are exact radius KNN at doubling radius.
+
+    Args:
+        points: (2 * C_0, 3) float32 stage-0 points in the padded pair
+            layout (ref rows [0, C_0), src rows [C_0, 2 C_0), padding =
+            anything — it is re-masked from `lengths`).
+        lengths: (2,) int32 [ref_len, src_len].
+        feats: (2 * C_0, F) float32 padded stage-0 features.
+        transform: (4, 4) float32.
+        num_stages / voxel_size / radius / neighbor_limits / stage_caps:
+            static pyramid spec (tuples for the last two).
+
+    Returns:
+        (batch, overflow): `batch` matches ``pad_registration_batch`` output
+        key-for-key (points/masks/lengths/neighbors/subsampling/upsampling/
+        features/transform); `overflow` is a (num_stages,) bool vector —
+        True where a stage's voxel count exceeded its cap (stage 0 entry is
+        always False; host-side length checks cover it).
+    """
+    assert len(neighbor_limits) == num_stages and len(stage_caps) == num_stages
+    cap0 = int(stage_caps[0])
+    assert points.shape[0] == 2 * cap0
+
+    pts = points.reshape(2, cap0, 3).astype(jnp.float32)
+    lengths = lengths.astype(jnp.int32)
+    valid0 = jnp.arange(cap0)[None, :] < lengths[:, None]
+    pts = jnp.where(valid0[..., None], pts, PAD_COORD)
+
+    stage_pts = [pts]
+    stage_lens = [lengths]
+    overflow = [jnp.zeros((), bool)]
+    # Host parity: build_pyramid doubles the voxel after *every* stage,
+    # including stage 0, so the stage-i subsample runs at voxel_size * 2^i.
+    v = float(voxel_size) * 2.0
+    for i in range(1, num_stages):
+        sub, m, ov = jax.vmap(
+            lambda p, n: _subsample_cloud(p, n, v, int(stage_caps[i]))
+        )(stage_pts[-1], stage_lens[-1])
+        stage_pts.append(sub)
+        stage_lens.append(m)
+        overflow.append(jnp.any(ov))
+        v *= 2.0
+
+    out = {"points": [], "masks": [], "lengths": [],
+           "neighbors": [], "subsampling": [], "upsampling": []}
+    r = float(radius)
+    for i in range(num_stages):
+        cap = int(stage_caps[i])
+        out["points"].append(stage_pts[i].reshape(2 * cap, 3))
+        out["masks"].append(
+            (jnp.arange(cap)[None, :] < stage_lens[i][:, None]).reshape(2 * cap))
+        out["lengths"].append(stage_lens[i])
+        out["neighbors"].append(_pair_search(
+            stage_pts[i], stage_lens[i], stage_pts[i], stage_lens[i],
+            cap, cap, r, int(neighbor_limits[i])))
+        if i < num_stages - 1:
+            cap_sub = int(stage_caps[i + 1])
+            out["subsampling"].append(_pair_search(
+                stage_pts[i + 1], stage_lens[i + 1], stage_pts[i], stage_lens[i],
+                cap_sub, cap, r, int(neighbor_limits[i])))
+            out["upsampling"].append(_pair_search(
+                stage_pts[i], stage_lens[i], stage_pts[i + 1], stage_lens[i + 1],
+                cap, cap_sub, r * 2.0, int(neighbor_limits[i + 1])))
+        r *= 2.0
+
+    out["features"] = jnp.where(
+        valid0.reshape(2 * cap0)[:, None], feats.astype(jnp.float32), 0.0)
+    out["transform"] = transform.astype(jnp.float32)
+    return out, jnp.stack(overflow)
+
+
+def pad_stage0(points, lengths, cap0, feat_dim=1):
+    """Host helper: lay raw stacked ref+src points into the stage-0 padded
+    frame expected by :func:`build_pyramid_device` (a memcpy, not
+    preprocessing — everything else happens on device)."""
+    import numpy as np
+
+    lengths = np.asarray(lengths)
+    ref_len, src_len = int(lengths[0]), int(lengths[1])
+    if max(ref_len, src_len) > cap0:
+        raise ValueError(
+            f"cloud sizes ({ref_len}, {src_len}) exceed stage-0 capacity {cap0}")
+    out = np.full((2 * cap0, 3), PAD_COORD, np.float32)
+    out[:ref_len] = points[:ref_len]
+    out[cap0:cap0 + src_len] = points[ref_len:ref_len + src_len]
+    feats = np.zeros((2 * cap0, feat_dim), np.float32)
+    feats[:ref_len] = 1.0
+    feats[cap0:cap0 + src_len] = 1.0
+    return out, np.asarray([ref_len, src_len], np.int32), feats

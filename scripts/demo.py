@@ -27,6 +27,7 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from geotransformer_tpu.configs import make_3dmatch_config
 from geotransformer_tpu.preprocess import build_pyramid, pad_registration_batch, caps_for_pyramid
+from geotransformer_tpu.preprocess.device import build_pyramid_device, pad_stage0
 from geotransformer_tpu.models import create_model
 from geotransformer_tpu.losses.metrics import isotropic_transform_error
 
@@ -38,7 +39,47 @@ def parse_args():
     parser.add_argument("--gt_file", default="/root/reference/data/demo/gt.npy")
     parser.add_argument("--snapshot", default=None, help="torch .pth.tar to convert")
     parser.add_argument("--repeat", type=int, default=3, help="timing repeats")
+    parser.add_argument(
+        "--device_preprocess", action="store_true",
+        help="build the pyramid on the TPU (zero host preprocessing)")
     return parser.parse_args()
+
+
+def load_batch_device(cfg, ref_file, src_file, gt_file):
+    """Zero-host-preprocessing path: pad raw points (a memcpy), then run the
+    whole pyramid build (voxel subsample + radius KNN tables) on device."""
+    ref_points = np.load(ref_file).astype(np.float32)
+    src_points = np.load(src_file).astype(np.float32)
+    transform = np.load(gt_file).astype(np.float32) if gt_file else np.eye(4, dtype=np.float32)
+
+    points = np.concatenate([ref_points, src_points], axis=0)
+    lengths = np.asarray([len(ref_points), len(src_points)])
+    caps = tuple(cfg.caps.stage_caps)
+    pts0, lens0, feats0 = pad_stage0(points, lengths, caps[0], cfg.backbone.input_dim)
+
+    def build(p, l, f, t):
+        return build_pyramid_device(
+            p, l, f, t, num_stages=cfg.backbone.num_stages,
+            voxel_size=cfg.backbone.init_voxel_size,
+            radius=cfg.backbone.init_radius,
+            neighbor_limits=tuple(cfg.caps.neighbor_limits), stage_caps=caps)
+
+    args = (jnp.asarray(pts0), jnp.asarray(lens0), jnp.asarray(feats0),
+            jnp.asarray(transform))
+    t0 = time.time()
+    batch, overflow = build(*args)
+    overflow = np.asarray(overflow)
+    print(f"  device pyramid compile + first run: {time.time() - t0:.2f}s")
+    if overflow.any():
+        raise ValueError(f"stage capacity overflow: {overflow}")
+
+    from geotransformer_tpu.utils.timing import trace_ms
+    ms = trace_ms(
+        lambda *a: build(*a)[0], args,
+        reduce_out=lambda b: jnp.sum(b["points"][-1]))
+    print(f"  device pyramid build: {ms:.2f} ms "
+          f"(host path: ~135 ms/core)")
+    return batch, caps, transform
 
 
 def load_batch(cfg, ref_file, src_file, gt_file):
@@ -52,7 +93,7 @@ def load_batch(cfg, ref_file, src_file, gt_file):
         points, lengths, cfg.backbone.num_stages, cfg.backbone.init_voxel_size,
         cfg.backbone.init_radius, list(cfg.caps.neighbor_limits),
     )
-    caps = caps_for_pyramid(pyramid, multiple=256)
+    caps = tuple(caps_for_pyramid(pyramid, multiple=256, per_cloud=True))
     feats = np.ones((points.shape[0], cfg.backbone.input_dim), np.float32)
     batch = pad_registration_batch(pyramid, feats, transform, caps)
     return batch, tuple(caps), transform
@@ -62,9 +103,14 @@ def main():
     args = parse_args()
     cfg = make_3dmatch_config()
 
-    print("building pyramid on host...")
     t0 = time.time()
-    batch, caps, gt_transform = load_batch(cfg, args.ref_file, args.src_file, args.gt_file)
+    if args.device_preprocess:
+        print("building pyramid on device...")
+        batch, caps, gt_transform = load_batch_device(
+            cfg, args.ref_file, args.src_file, args.gt_file)
+    else:
+        print("building pyramid on host...")
+        batch, caps, gt_transform = load_batch(cfg, args.ref_file, args.src_file, args.gt_file)
     cfg = cfg.with_caps(stage_caps=caps)
     print(f"  caps={caps}  ({time.time() - t0:.2f}s)")
 
