@@ -48,7 +48,7 @@ def main():
         points, lengths, cfg.backbone.num_stages, cfg.backbone.init_voxel_size,
         cfg.backbone.init_radius, list(cfg.caps.neighbor_limits),
     )
-    caps = tuple(caps_for_pyramid(pyramid, multiple=256))
+    caps = tuple(caps_for_pyramid(pyramid, multiple=256, per_cloud=True))
     cfg = cfg.with_caps(stage_caps=caps)
     feats = np.ones((points.shape[0], cfg.backbone.input_dim), np.float32)
     batch = pad_registration_batch(pyramid, feats, np.eye(4, dtype=np.float32), caps)
@@ -75,11 +75,31 @@ def main():
     )
     pairs_per_sec = 1000.0 / ms
 
+    # Secondary metric (extra keys on the same line): full training step
+    # (forward + backward + Adam) on the same pair.
+    from geotransformer_tpu.parallel.train import (
+        init_train_state, make_optimizer, make_train_step,
+    )
+
+    tx = make_optimizer(cfg, steps_per_epoch=10, world_size=1)
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), batch, tx)
+    step = make_train_step(model, cfg, tx, mesh=None)
+    batch1 = jax.tree.map(lambda x: x[None], batch)
+    rng = jax.random.PRNGKey(1)
+    train_ms = trace_ms(
+        lambda s, b, r: step(s, b, r),
+        (state, batch1, rng),
+        lambda out: out[1]["loss"],
+        iters=4,
+    )
+
     print(json.dumps({
         "metric": "3dmatch_demo_pair_model_throughput",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+        "train_step_ms": round(train_ms, 2),
+        "train_pairs_per_sec": round(1000.0 / train_ms, 2),
     }))
 
 

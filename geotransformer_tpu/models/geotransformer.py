@@ -31,9 +31,24 @@ from geotransformer_tpu.ops.partition import point_to_node_partition
 from geotransformer_tpu.ops.gather import gather_with_shadow
 
 
-def split_pair(array, per_cloud_capacity):
-    """Split a stacked [ref | src] array at the static capacity."""
-    return array[:per_cloud_capacity], array[per_cloud_capacity:]
+def split_pair(array, ref_capacity):
+    """Split a stacked [ref | src] array at the static ref capacity."""
+    return array[:ref_capacity], array[ref_capacity:]
+
+
+def _ref_capacity(cfg_stage_caps, batch, stage):
+    """Static ref/src split row for a stage: from the config when the stage
+    cap is an asymmetric (cap_ref, cap_src) pair, else half the (symmetric)
+    stage row count."""
+    cap = cfg_stage_caps[stage] if stage < len(cfg_stage_caps) else None
+    rows = batch["points"][stage].shape[0]
+    if isinstance(cap, (tuple, list)):
+        if int(cap[0]) + int(cap[1]) != rows:
+            raise ValueError(
+                f"stage {stage}: cfg caps {cap} do not match batch rows {rows}"
+            )
+        return int(cap[0])
+    return rows // 2
 
 
 class GeoTransformer(nn.Module):
@@ -56,8 +71,8 @@ class GeoTransformer(nn.Module):
         cfg = self.cfg
         fine = cfg.model.fine_level
         coarse = cfg.backbone.num_stages - 1
-        cap_f = batch["points"][fine].shape[0] // 2
-        cap_c = batch["points"][coarse].shape[0] // 2
+        cap_f = _ref_capacity(cfg.caps.stage_caps, batch, fine)
+        cap_c = _ref_capacity(cfg.caps.stage_caps, batch, coarse)
 
         out = {}
 

@@ -29,6 +29,27 @@ def _process_index(index):
     return prepare_pair(dataset[index], **cfg)
 
 
+def _is_bucketed(stage_caps, num_stages):
+    """Distinguish capacity *buckets* (a list of whole-pyramid cap tuples)
+    from a single pyramid spec whose per-stage entries are asymmetric
+    (cap_ref, cap_src) pairs."""
+    if not isinstance(stage_caps[0], (list, tuple)):
+        return False
+    asym = (
+        len(stage_caps) == num_stages
+        and all(isinstance(c, (list, tuple)) and len(c) == 2 for c in stage_caps)
+        and num_stages != 2
+    )
+    return not asym
+
+
+def _fits(size, cap):
+    """(ref_len, src_len) fits cap, where cap is an int or a per-cloud pair."""
+    if isinstance(cap, (list, tuple)):
+        return size[0] <= cap[0] and size[1] <= cap[1]
+    return max(size) <= cap
+
+
 def prepare_pair(
     sample,
     num_stages,
@@ -50,14 +71,14 @@ def prepare_pair(
     pyramid = build_pyramid(
         points, lengths, num_stages, voxel_size, search_radius, list(neighbor_limits)
     )
-    if isinstance(stage_caps[0], (list, tuple)):
+    if _is_bucketed(stage_caps, num_stages):
         # Capacity buckets (ascending): pick the smallest bucket that fits —
         # XLA compiles one executable per bucket, so a handful of buckets
         # bounds both recompilation and padding waste (the reference's
         # calibration idea extended to whole-pyramid shapes, SURVEY §7).
-        sizes = [int(np.max(l)) for l in pyramid["lengths"]]
+        sizes = [tuple(int(x) for x in l) for l in pyramid["lengths"]]
         for bucket in stage_caps:
-            if all(s <= c for s, c in zip(sizes, bucket)):
+            if all(_fits(s, c) for s, c in zip(sizes, bucket)):
                 stage_caps = tuple(bucket)
                 break
         else:

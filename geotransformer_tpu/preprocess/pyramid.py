@@ -108,23 +108,37 @@ def build_pyramid(points, lengths, num_stages, voxel_size, radius, neighbor_limi
     }
 
 
+def _cloud_caps(cap):
+    """A stage cap is an int (symmetric per-cloud capacity) or a
+    (cap_ref, cap_src) pair (asymmetric — saves padding the smaller cloud
+    up to the larger one's capacity)."""
+    if isinstance(cap, (tuple, list)):
+        cap_r, cap_s = int(cap[0]), int(cap[1])
+    else:
+        cap_r = cap_s = int(cap)
+    return cap_r, cap_s
+
+
 def _remap_indices(indices, ref_len, src_len, cap):
-    """Remap stacked-frame indices to the padded frame (sentinel -> 2*cap)."""
+    """Remap stacked-frame indices to the padded frame (sentinel -> total
+    capacity: ref rows [0, cap_r), src rows [cap_r, cap_r + cap_s))."""
+    cap_r, cap_s = _cloud_caps(cap)
     total = ref_len + src_len
     out = np.where(
         indices >= total,
-        2 * cap,
-        np.where(indices >= ref_len, indices + (cap - ref_len), indices),
+        cap_r + cap_s,
+        np.where(indices >= ref_len, indices + (cap_r - ref_len), indices),
     )
     return out.astype(np.int32)
 
 
 def _pad_rows(array, ref_len, src_len, cap, fill):
-    """Re-lay stacked rows [ref ++ src] into [ref pad to cap ++ src pad to cap]."""
-    out_shape = (2 * cap,) + array.shape[1:]
+    """Re-lay stacked rows [ref ++ src] into [ref pad to cap_r ++ src pad to cap_s]."""
+    cap_r, cap_s = _cloud_caps(cap)
+    out_shape = (cap_r + cap_s,) + array.shape[1:]
     out = np.full(out_shape, fill, dtype=array.dtype)
     out[:ref_len] = array[:ref_len]
-    out[cap : cap + src_len] = array[ref_len : ref_len + src_len]
+    out[cap_r : cap_r + src_len] = array[ref_len : ref_len + src_len]
     return out
 
 
@@ -135,18 +149,19 @@ def pad_registration_batch(pyramid, feats, transform, stage_caps):
         pyramid: dict from :func:`build_pyramid` with B=2 clouds [ref, src].
         feats: (N0, C_in) stacked stage-0 features.
         transform: (4, 4) ground-truth transform (identity if unknown).
-        stage_caps: per-stage per-cloud capacity C_i (so stage arrays have
-            2*C_i rows).
+        stage_caps: per-stage capacity — an int C_i (symmetric: each cloud
+            gets C_i rows) or a (C_i^ref, C_i^src) pair (asymmetric; saves
+            padding the smaller cloud to the larger one's capacity).
 
     Returns:
-        dict of numpy arrays (static shapes):
-          points[i]      (2*C_i, 3) float32
-          masks[i]       (2*C_i,)  bool
-          lengths[i]     (2,)      int32  [ref_len, src_len]
-          neighbors[i]   (2*C_i, K_i) int32, sentinel 2*C_i
-          subsampling[i] (2*C_{i+1}, K_i) int32, sentinel 2*C_i
-          upsampling[i]  (2*C_i, K_{i+1}) int32, sentinel 2*C_{i+1}
-          features       (2*C_0, C_in) float32
+        dict of numpy arrays (static shapes; T_i = C_i^ref + C_i^src):
+          points[i]      (T_i, 3) float32
+          masks[i]       (T_i,)  bool
+          lengths[i]     (2,)    int32  [ref_len, src_len]
+          neighbors[i]   (T_i, K_i) int32, sentinel T_i
+          subsampling[i] (T_{i+1}, K_i) int32, sentinel T_i
+          upsampling[i]  (T_i, K_{i+1}) int32, sentinel T_{i+1}
+          features       (T_0, C_in) float32
           transform      (4, 4) float32
     """
     num_stages = len(pyramid["points"])
@@ -157,40 +172,44 @@ def pad_registration_batch(pyramid, feats, transform, stage_caps):
     src_lens = [int(l[1]) for l in pyramid["lengths"]]
 
     for i in range(num_stages):
-        cap = int(stage_caps[i])
+        cap_r, cap_s = _cloud_caps(stage_caps[i])
         ref_len, src_len = ref_lens[i], src_lens[i]
-        if ref_len > cap or src_len > cap:
+        if ref_len > cap_r or src_len > cap_s:
             raise ValueError(
-                f"stage {i}: cloud sizes ({ref_len}, {src_len}) exceed capacity {cap}"
+                f"stage {i}: cloud sizes ({ref_len}, {src_len}) exceed "
+                f"capacity ({cap_r}, {cap_s})"
             )
+        cap = (cap_r, cap_s)
         pts = _pad_rows(pyramid["points"][i].astype(np.float32), ref_len, src_len, cap, PAD_COORD)
-        mask = np.zeros(2 * cap, dtype=bool)
+        mask = np.zeros(cap_r + cap_s, dtype=bool)
         mask[:ref_len] = True
-        mask[cap : cap + src_len] = True
+        mask[cap_r : cap_r + src_len] = True
         nbrs = _remap_indices(pyramid["neighbors"][i], ref_len, src_len, cap)
-        nbrs = _pad_rows(nbrs, ref_len, src_len, cap, np.int32(2 * cap))
-        nbrs = _pad_cols_to_sublane(nbrs, np.int32(2 * cap))
+        nbrs = _pad_rows(nbrs, ref_len, src_len, cap, np.int32(cap_r + cap_s))
+        nbrs = _pad_cols_to_sublane(nbrs, np.int32(cap_r + cap_s))
         out["points"].append(pts)
         out["masks"].append(mask)
         out["lengths"].append(np.asarray([ref_len, src_len], dtype=np.int32))
         out["neighbors"].append(nbrs)
 
     for i in range(num_stages - 1):
-        cap_cur, cap_sub = int(stage_caps[i]), int(stage_caps[i + 1])
+        cap_cur, cap_sub = _cloud_caps(stage_caps[i]), _cloud_caps(stage_caps[i + 1])
+        sent_cur = np.int32(sum(cap_cur))
+        sent_sub = np.int32(sum(cap_sub))
         sub = _remap_indices(pyramid["subsampling"][i], ref_lens[i], src_lens[i], cap_cur)
-        sub = _pad_rows(sub, ref_lens[i + 1], src_lens[i + 1], cap_sub, np.int32(2 * cap_cur))
+        sub = _pad_rows(sub, ref_lens[i + 1], src_lens[i + 1], cap_sub, sent_cur)
         # Column padding is safe for the strided KPConv (shadow columns are
         # exactly neutral) but maxpool must be told the true width: its zero
         # shadow row may only enter rows underfull within the reference's
         # neighbor limit (functional.py:54-67) — see KPConvFPN.neighbor_limits.
-        out["subsampling"].append(_pad_cols_to_sublane(sub, np.int32(2 * cap_cur)))
+        out["subsampling"].append(_pad_cols_to_sublane(sub, sent_cur))
         up = _remap_indices(pyramid["upsampling"][i], ref_lens[i + 1], src_lens[i + 1], cap_sub)
-        up = _pad_rows(up, ref_lens[i], src_lens[i], cap_cur, np.int32(2 * cap_sub))
-        out["upsampling"].append(_pad_cols_to_sublane(up, np.int32(2 * cap_sub)))
+        up = _pad_rows(up, ref_lens[i], src_lens[i], cap_cur, sent_sub)
+        out["upsampling"].append(_pad_cols_to_sublane(up, sent_sub))
 
-    cap0 = int(stage_caps[0])
     out["features"] = _pad_rows(
-        np.asarray(feats, dtype=np.float32), ref_lens[0], src_lens[0], cap0, 0.0
+        np.asarray(feats, dtype=np.float32), ref_lens[0], src_lens[0],
+        _cloud_caps(stage_caps[0]), 0.0
     )
     out["transform"] = np.asarray(transform, dtype=np.float32)
     return out
@@ -216,13 +235,23 @@ def _pad_cols_to_sublane(table, sentinel):
     return out
 
 
-def caps_for_pyramid(pyramid, multiple=128, margin=1.0):
-    """Pick per-stage per-cloud capacities covering this pyramid.
+def caps_for_pyramid(pyramid, multiple=128, margin=1.0, per_cloud=False):
+    """Pick per-stage capacities covering this pyramid.
 
-    Rounds max(ref_len, src_len) * margin up to `multiple` (TPU lane-friendly).
+    Rounds cloud sizes * margin up to `multiple` (TPU lane-friendly).
+    With ``per_cloud=False`` each stage gets one symmetric capacity
+    (max over clouds); with ``per_cloud=True`` each stage gets a
+    (cap_ref, cap_src) pair, so the smaller cloud is not padded to the
+    larger one's capacity (~10% fewer backbone rows on typical pairs).
     """
     caps = []
     for lengths in pyramid["lengths"]:
-        biggest = int(np.max(lengths)) * margin
-        caps.append(max(round_up(biggest, multiple), multiple))
+        if per_cloud:
+            caps.append(tuple(
+                max(round_up(int(l) * margin, multiple), multiple)
+                for l in lengths
+            ))
+        else:
+            biggest = int(np.max(lengths)) * margin
+            caps.append(max(round_up(biggest, multiple), multiple))
     return caps
