@@ -28,6 +28,12 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
+
+# Precision knobs (module-level so drift studies / configs can flip them):
+# BASIS_DTYPE — sin/cos bases + projection weights fed to the MXU;
+# EMBED_DTYPE — the fused embedding output (re-read by every RPE layer).
+BASIS_DTYPE = jnp.bfloat16
+EMBED_DTYPE = jnp.bfloat16
 from jax.experimental.pallas import tpu as pltpu
 
 
@@ -84,9 +90,14 @@ def _tile_indices(pn, pm, uk_ref, angle_k, inv_sigma_d, factor_a):
     Returns d_idx (TN, TM) and a list of k angle maps (TN, TM), matching
     GeometricStructureEmbedding.get_embedding_indices (transformer.py:36-64).
     """
+    # precision=HIGHEST on the geometry dots: Mosaic's default f32 matmul
+    # is a single bf16 pass, which costs percent-level distance/angle error
+    # (the dominant trained-weight drift source). These are 3-deep dots —
+    # multi-pass f32 is noise next to the basis matmuls.
     dots = jax.lax.dot_general(
         pn[:, :3], pm[:, :3].T, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=jax.lax.Precision.HIGHEST,
     )  # (TN, TM)
     d2 = jnp.maximum(pn[:, 3][:, None] - 2.0 * dots + pm[:, 3][None, :], 0.0)
     dist = jnp.sqrt(d2)
@@ -100,6 +111,7 @@ def _tile_indices(pn, pm, uk_ref, angle_k, inv_sigma_d, factor_a):
         pm_u = jax.lax.dot_general(
             u, pm[:, :3].T, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
+            precision=jax.lax.Precision.HIGHEST,
         )  # (TN, TM)
         pn_u = jnp.sum(u * pn[:, :3], axis=-1)  # (TN,)
         vu = pm_u - pn_u[:, None]
@@ -131,7 +143,7 @@ def _gse_full_kernel(pn_ref, pm_ref, uk_ref, div_ref, wds_ref, wdc_ref,
     def embed(idx):
         om = idx[:, None, :] * div[0][None, :, None]  # (TN, F, TM)
         s, c = _fast_sincos(om)
-        return s.astype(jnp.bfloat16), c.astype(jnp.bfloat16)
+        return s.astype(BASIS_DTYPE), c.astype(BASIS_DTYPE)
 
     def proj(sin_b, cos_b, ws, wc):
         return jax.lax.dot_general(
@@ -164,7 +176,7 @@ def _pack_args(points, ref_vectors, w_d, b_d, w_a, b_a, hidden_dim):
     c = hidden_dim
     div_indices = np.arange(0, c, 2, dtype=np.float32)
     div_term = jnp.asarray(np.exp(div_indices * (-np.log(10000.0) / c))[None, :])
-    bf = jnp.bfloat16
+    bf = BASIS_DTYPE
     p_aug = _aug_points(points)
     u_aug = jnp.concatenate(
         [ref_vectors, jnp.sum(ref_vectors**2, -1, keepdims=True),
@@ -229,7 +241,7 @@ def gse_embedding_full(
         out_specs=pl.BlockSpec(
             (tile_n, tile_m, c), lambda i, j: (i, j, 0), memory_space=pltpu.VMEM
         ),
-        out_shape=jax.ShapeDtypeStruct((pad_n, pad_m, c), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((pad_n, pad_m, c), EMBED_DTYPE),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(p_n, p_m, u_aug, div_term, wds, wdc, was, wac, bias)
@@ -249,7 +261,7 @@ def _gse_full_bwd_kernel(pn_ref, pm_ref, uk_ref, de_ref, div_ref, was_ref,
     def embed(idx):
         om = idx[:, None, :] * div[0][None, :, None]
         s, c = _fast_sincos(om)
-        return s.astype(jnp.bfloat16), c.astype(jnp.bfloat16)
+        return s.astype(BASIS_DTYPE), c.astype(BASIS_DTYPE)
 
     def proj(sin_b, cos_b, ws, wc):
         return jax.lax.dot_general(
@@ -262,7 +274,7 @@ def _gse_full_bwd_kernel(pn_ref, pm_ref, uk_ref, de_ref, div_ref, was_ref,
 
     def wgrad(basis, cot):
         per_n = jax.lax.dot_general(
-            basis, cot.astype(jnp.bfloat16),
+            basis, cot.astype(BASIS_DTYPE),
             (((2,), (1,)), ((0,), (0,))),
             preferred_element_type=jnp.float32,
         )
@@ -316,7 +328,7 @@ def _gse_full_bwd(points, ref_vectors, w_a, hidden_dim, sigma_d, sigma_a, de,
     f = c // 2
     div_indices = np.arange(0, c, 2, dtype=np.float32)
     div_term = jnp.asarray(np.exp(div_indices * (-np.log(10000.0) / c))[None, :])
-    bf = jnp.bfloat16
+    bf = BASIS_DTYPE
     was, wac = w_a[0::2].astype(bf), w_a[1::2].astype(bf)
     p_aug = _aug_points(points)
     u_aug = jnp.concatenate(

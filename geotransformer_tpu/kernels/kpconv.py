@@ -35,6 +35,10 @@ from jax.experimental.pallas import tpu as pltpu
 
 from geotransformer_tpu.ops.gather import gather_with_shadow
 
+# MXU input dtype for the influence/feature contractions (module-level so
+# drift studies / configs can flip it to f32).
+MXU_DTYPE = jnp.bfloat16
+
 _AUG = 8  # lanes reserved for [s(3), |s|^2(1), padding(4)]
 
 
@@ -55,29 +59,29 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *pool_ref,
     kp = kp_ref[...]  # (K, AUG) — lanes [kp(3), |kp|^2(1), ...]
 
     sp = g[:, :, :3]  # (TM, H, 3)
-    sq_s = g[:, :, 3]  # (TM, H)
     nf = g[:, :, _AUG : _AUG + c_in]  # (TM, H, C)
-
     qp = q[:, :3]  # (TM, 3)
-    sq_q = q[:, 3]  # (TM,)
-
     tm, h = sp.shape[0], sp.shape[1]
 
-    # |s - q|^2 = |s|^2 - 2 s.q + |q|^2
-    s_dot_q = jnp.sum(sp * qp[:, None, :], axis=-1)  # (TM, H)
-    sq_off = sq_s - 2.0 * s_dot_q + sq_q[:, None]  # (TM, H)
-    # (s - q) . kp_k = s.kp - q.kp
-    s_dot_kp = jax.lax.dot_general(
-        sp.reshape(tm * h, 3), kp[:, :3].T,
+    # Offsets-first geometry: Mosaic lowers f32 matmuls as a SINGLE bf16
+    # pass, and bf16 dots on ABSOLUTE coordinates cost percent-level
+    # influence error (~12% trained-feature drift, measured). Subtracting
+    # q on the VPU first (exact f32) makes every matmul operand a small
+    # offset (|off| <= search radius), so the bf16 rounding scales with the
+    # offset, not the position — accurate at full single-pass speed, and on
+    # KITTI-scale coordinates it also kills the f32 cancellation the
+    # expanded |s|^2 - 2 s.q + |q|^2 form suffered. (precision=HIGHEST on
+    # the absolute-coordinate dots was measured correct but ~2 ms slower
+    # per forward across the 12 convolutions.)
+    off = sp - qp[:, None, :]  # (TM, H, 3)
+    sq_off = jnp.sum(off * off, axis=-1)  # (TM, H)
+    off_dot_kp = jax.lax.dot_general(
+        off.reshape(tm * h, 3), kp[:, :3].T,
         (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
     ).reshape(tm, h, k)  # (TM, H, K)
-    q_dot_kp = jax.lax.dot_general(
-        qp, kp[:, :3].T, (((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    )  # (TM, K)
     sq = (
         sq_off[:, :, None]
-        - 2.0 * (s_dot_kp - q_dot_kp[:, None, :])
+        - 2.0 * off_dot_kp
         + kp[:, 3][None, None, :]
     )
     sq = jnp.maximum(sq, 1e-20)
@@ -96,7 +100,7 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *pool_ref,
         # 1-lane rhs is pathologically shaped on the MXU.
         t1 = jnp.sum(influence * nf[:, :, 0][:, :, None], axis=1)  # (TM, K)
         acc = jax.lax.dot_general(
-            t1.astype(jnp.bfloat16), w_ref[...][:, 0, :].astype(jnp.bfloat16),
+            t1.astype(MXU_DTYPE), w_ref[...][:, 0, :].astype(MXU_DTYPE),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         out_ref[...] = acc / count[:, None]
@@ -109,7 +113,7 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *pool_ref,
     # bf16 inputs for the MXU (influence in [0,1], features O(1) post-GN;
     # ~0.4% rounding — the precision XLA picks for f32 matmuls by default).
     t = jax.lax.dot_general(
-        influence.astype(jnp.bfloat16), nf.astype(jnp.bfloat16),
+        influence.astype(MXU_DTYPE), nf.astype(MXU_DTYPE),
         (((1,), (1,)), ((0,), (0,))),
         preferred_element_type=jnp.float32,
     )  # (TM, K, C)
@@ -253,20 +257,14 @@ def _influence_and_count_from_gathered(g, q_points, kernel_points, sigma, c_in):
     the shadow-at-origin convention — shadow rows may get spurious influence
     but their features are zero, so every term they touch vanishes)."""
     sp = g[:, :, :3]
-    sq_s = g[:, :, 3]
     nf = g[:, :, _AUG : _AUG + c_in]
-    sq_q = jnp.sum(q_points**2, axis=-1)
-    sq_off = (
-        sq_s
-        - 2.0 * jnp.einsum("mhd,md->mh", sp, q_points)
-        + sq_q[:, None]
-    )
+    # Offsets-first, mirroring _kpconv_kernel: small-magnitude matmul
+    # operands keep TPU-default bf16 matmul error negligible (bf16 dots on
+    # absolute coordinates measured ~12% trained-feature drift).
+    off = sp - q_points[:, None, :]
     sq = (
-        sq_off[:, :, None]
-        - 2.0 * (
-            jnp.einsum("mhd,kd->mhk", sp, kernel_points)
-            - jnp.einsum("md,kd->mk", q_points, kernel_points)[:, None, :]
-        )
+        jnp.sum(off * off, axis=-1)[:, :, None]
+        - 2.0 * jnp.einsum("mhd,kd->mhk", off, kernel_points)
         + jnp.sum(kernel_points**2, axis=-1)[None, None, :]
     )
     influence = jnp.maximum(1.0 - jnp.sqrt(jnp.maximum(sq, 1e-20)) / sigma, 0.0)
