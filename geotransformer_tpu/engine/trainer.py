@@ -72,9 +72,13 @@ class Trainer:
         )
         self.log_steps = log_steps
 
-        n_dev = train_loader.batch_size
-        self.mesh = make_mesh(num_devices=n_dev) if use_mesh and n_dev > 1 else None
-        world = n_dev if self.mesh is not None else 1
+        # train_loader.batch_size is the LOCAL (per-process) batch; the mesh
+        # spans all hosts' devices, one registration pair per device.
+        n_global = train_loader.batch_size * jax.process_count()
+        self.mesh = (
+            make_mesh(num_devices=n_global) if use_mesh and n_global > 1 else None
+        )
+        world = n_global if self.mesh is not None else 1
         steps_per_epoch = max(len(train_loader), 1)
         self.tx = make_optimizer(cfg, steps_per_epoch, world_size=world)
         self.train_step = make_train_step(model, cfg, self.tx, mesh=self.mesh)
@@ -84,7 +88,12 @@ class Trainer:
         )
         self.state = None
         self.epoch = 0
-        self.rng = jax.random.PRNGKey(cfg.seed + jax.process_index())
+        self.last_metrics = {}
+        # SPMD correctness: replicated jit inputs (the per-step rng) must be
+        # IDENTICAL on every process — per-process seeds would feed the same
+        # global computation inconsistent operands. Per-host data variety
+        # comes from the loader's shard_index, not the rng.
+        self.rng = jax.random.PRNGKey(cfg.seed)
 
         # TensorBoard scalars (reference base_trainer.py:60,246-251);
         # torch's writer is used lazily and only on process 0.
@@ -157,7 +166,8 @@ class Trainer:
                     f"proc {timer.get_process_time():.3f}s"
                 )
             timer.tic_prepare()
-        return summary.summary()
+        self.last_metrics = summary.summary()
+        return self.last_metrics
 
     def validate(self):
         if self.val_loader is None:
@@ -184,8 +194,10 @@ class Trainer:
                 f"epoch {self.epoch} done in {time.time() - t0:.1f}s: "
                 + ", ".join(f"{k}={v:.4f}" for k, v in train_metrics.items())
             )
-            if jax.process_index() == 0:
-                self.checkpoints.save(self.epoch, self.state, metadata={"epoch": self.epoch})
+            # orbax coordinates multi-process saves internally; EVERY process
+            # must call save or process 0 deadlocks on the barrier (the
+            # torch-style rank-0 guard belongs to file writes, not here).
+            self.checkpoints.save(self.epoch, self.state, metadata={"epoch": self.epoch})
             self.validate()
         return self.state
 
@@ -209,8 +221,7 @@ class Trainer:
                 if it % self.log_steps == 0:
                     self.logger.info(f"iter {it}/{max_iter}: {summary.tostring()}")
                 if it % snapshot_steps == 0:
-                    if jax.process_index() == 0:
-                        self.checkpoints.save(it, self.state, metadata={"iteration": it})
+                    self.checkpoints.save(it, self.state, metadata={"iteration": it})
                     self.validate()
                 if it >= max_iter:
                     break
