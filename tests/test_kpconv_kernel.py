@@ -36,6 +36,55 @@ class TestKPConvFused:
         ))
         np.testing.assert_allclose(got, want, rtol=3e-2, atol=1e-2)
 
+    def test_large_coordinate_offsets_precision(self, rng):
+        # KITTI-scale regression guard for the offsets-first geometry: with
+        # clouds ~70 m from the origin, the old expanded |s|^2 - 2 s.q form
+        # loses ~1e-3 of the squared distance to f32 cancellation (visible
+        # even in interpret mode) and, on TPU, ran its dots at effective
+        # bf16 on absolute coordinates (percent-level influence error).
+        # Subtract-then-dot keeps operands offset-sized, so kernel output
+        # must track an exact f64 reference tightly at any coordinate scale.
+        n, m, h, cin, cout = 300, 200, 10, 16, 32
+        center = np.asarray([65.0, -48.0, 7.0], np.float32)
+        s_points = (rng.uniform(0, 1, (n, 3)) * 0.5 + center).astype(np.float32)
+        q_points = (rng.uniform(0, 1, (m, 3)) * 0.5 + center).astype(np.float32)
+        s_feats = rng.normal(size=(n, cin)).astype(np.float32)
+        neighbors = rng.integers(0, n + 1, (m, h)).astype(np.int32)
+        conv = KPConv(cin, cout, 15, 0.1, 0.08)
+        variables = conv.init(
+            jax.random.PRNGKey(0), jnp.asarray(s_feats), jnp.asarray(q_points),
+            jnp.asarray(s_points), jnp.asarray(neighbors),
+        )
+        kp = np.asarray(variables["constants"]["kernel_points"], np.float64)
+        w = np.asarray(variables["params"]["weights"], np.float64)
+        # exact f64 reference
+        sp = np.concatenate([s_points, np.full((1, 3), 1e6, np.float32)], 0)
+        sf = np.concatenate([s_feats, np.zeros((1, cin), np.float32)], 0)
+        off = sp[neighbors].astype(np.float64) - q_points[:, None, :].astype(np.float64)
+        d = np.sqrt(np.sum((off[:, :, None, :] - kp[None, None, :, :]) ** 2, -1))
+        infl = np.maximum(1.0 - d / 0.08, 0.0)
+        nf = sf[neighbors].astype(np.float64)
+        t = np.einsum("mhk,mhc->mkc", infl, nf)
+        out = np.einsum("mkc,kcd->md", t, w)
+        cnt = np.maximum((nf.sum(-1) > 0).sum(-1), 1)
+        want = out / cnt[:, None]
+        # f32 contraction for the test so only geometry error remains (the
+        # deliberate bf16 feature contraction adds ~0.2% that would mask
+        # the ~5% error an expanded-form geometry regression costs here).
+        import geotransformer_tpu.kernels.kpconv as kk
+        old = kk.MXU_DTYPE
+        kk.MXU_DTYPE = jnp.float32
+        try:
+            got = np.asarray(kpconv_fused(
+                jnp.asarray(s_feats), jnp.asarray(q_points), jnp.asarray(s_points),
+                jnp.asarray(neighbors), variables["constants"]["kernel_points"],
+                variables["params"]["weights"], sigma=0.08, tile_m=64,
+            ))
+        finally:
+            kk.MXU_DTYPE = old
+        err = np.linalg.norm(got - want) / np.linalg.norm(want)
+        assert err < 2e-4, f"large-coordinate relative error {err}"
+
     def test_ragged_tile(self, rng):
         # m not a multiple of tile_m exercises the padding path
         s_points, q_points, s_feats, neighbors, conv, variables = self._setup(
