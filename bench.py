@@ -82,16 +82,37 @@ def main():
     )
 
     tx = make_optimizer(cfg, steps_per_epoch=10, world_size=1)
-    state = init_train_state(model, cfg, jax.random.PRNGKey(0), batch, tx)
+    # training batches carry inverse neighbor tables (scatter-free backward)
+    train_batch = jax.tree.map(jnp.asarray, pad_registration_batch(
+        pyramid, feats, np.eye(4, dtype=np.float32), caps,
+        inverse_limits=cfg.caps.inverse_limits))
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), train_batch, tx)
     step = make_train_step(model, cfg, tx, mesh=None)
-    batch1 = jax.tree.map(lambda x: x[None], batch)
+    batch1 = jax.tree.map(lambda x: x[None], train_batch)
     rng = jax.random.PRNGKey(1)
-    train_ms = trace_ms(
-        lambda s, b, r: step(s, b, r),
-        (state, batch1, rng),
-        lambda out: out[1]["loss"],
-        iters=4,
-    )
+
+    # The state MUST thread through chained steps: timing a single step by
+    # fetching only the loss lets XLA dead-code-eliminate the backward and
+    # optimizer update (measured 28 ms vs the honest 110 ms).
+    @jax.jit
+    def chain(n, s, b, r):
+        def body(i, carry):
+            s_i, _ = carry
+            s_n, aux = step(s_i, b, jax.random.fold_in(r, i))
+            return (s_n, aux["loss"])
+        return jax.lax.fori_loop(0, n, body, (s, jnp.float32(0)))[1]
+
+    float(chain(jnp.int32(1), state, batch1, rng))  # compile + sync
+
+    def fetch(n):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            float(chain(jnp.int32(n), state, batch1, rng))
+            best = min(best, time.time() - t0)
+        return best
+
+    train_ms = (fetch(5) - fetch(1)) / 4.0 * 1e3
 
     print(json.dumps({
         "metric": "3dmatch_demo_pair_model_throughput",

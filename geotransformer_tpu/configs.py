@@ -132,6 +132,10 @@ class CapsConfig:
 
     stage_caps: Tuple[int, ...] = (20480, 5632, 1664, 640)  # per-cloud, per-stage
     neighbor_limits: Tuple[int, ...] = (38, 36, 36, 38)
+    # in-degree capacities for the inverse neighbor tables feeding the
+    # scatter-free KPConv backward (training batches only); ~2x the
+    # neighbor limit covers radius-graph in-degree skew
+    inverse_limits: Tuple[int, ...] = (80, 80, 80, 80)
     gt_candidates: int = 64          # S: src candidates per ref node for GT overlaps
     gt_chunk_size: int = 32          # lax.map chunk for overlap computation
     correspondence_capacity: int = 4096  # C: LGR verification-set capacity
@@ -188,6 +192,7 @@ def make_kitti_config():
         caps=CapsConfig(
             stage_caps=(30720, 8192, 2048, 768, 256),
             neighbor_limits=(65, 65, 65, 65, 65),
+            inverse_limits=(136, 136, 136, 136, 136),
             correspondence_capacity=8192,
         ),
     )
@@ -211,6 +216,7 @@ def make_modelnet_config():
         caps=CapsConfig(
             stage_caps=(768, 384, 192),
             neighbor_limits=(34, 34, 34),
+            inverse_limits=(72, 72, 72),
             correspondence_capacity=4096,
         ),
     )

@@ -42,9 +42,13 @@ MXU_DTYPE = jnp.bfloat16
 _AUG = 8  # lanes reserved for [s(3), |s|^2(1), padding(4)]
 
 
-def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *pool_ref,
-                   num_kernel_points, c_in, sigma, pool_cols=None):
+def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
+                   num_kernel_points, c_in, sigma, pool_cols=None,
+                   has_pool=False, has_count=False):
     k = num_kernel_points
+    extras = list(extras)
+    pool_ref = [extras.pop(0)] if has_pool else []
+    count_ref = extras.pop(0) if has_count else None
     if pool_ref:
         # Fused strided-shortcut maxpool (reference modules.py:216-218 +
         # functional.py:54-67): the trailing lanes of the gathered block
@@ -104,6 +108,8 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *pool_ref,
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
         out_ref[...] = acc / count[:, None]
+        if count_ref is not None:
+            count_ref[...] = jnp.broadcast_to(count[:, None], count_ref.shape)
         return
 
     # Batched MXU contraction over neighbors (Mosaic supports batch dims):
@@ -124,12 +130,14 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *pool_ref,
             preferred_element_type=jnp.float32,
         )
     out_ref[...] = acc / count[:, None]
+    if count_ref is not None:
+        count_ref[...] = jnp.broadcast_to(count[:, None], count_ref.shape)
 
 
 def kpconv_fused(
     s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
     sigma, bias=None, tile_m=128, interpret=None, return_gathered=False,
-    pool_feats=None, pool_cols=None,
+    pool_feats=None, pool_cols=None, return_count=False,
 ):
     """Fused KPConv forward.
 
@@ -150,10 +158,13 @@ def kpconv_fused(
             neighbor table inside the kernel (the strided ResidualBlock
             shortcut) — rides the one gather instead of paying a second.
         pool_cols: true (pre-alignment) neighbor limit bounding the pool.
+        return_count: also return the per-query positive-feature neighbor
+            count (M,) — the residual the scatter-free inverse backward
+            needs (it cannot recompute a query-side quantity).
 
     Returns:
         (M, C_out) float32 features [, (M, C_pool) pooled feats]
-        [, gathered block, padded indices].
+        [, counts] [, gathered block, padded indices].
     """
     m = q_points.shape[0]
     k, c_in, c_out = weights.shape
@@ -210,17 +221,27 @@ def kpconv_fused(
         interpret = jax.devices()[0].platform != "tpu"
     kernel = functools.partial(
         _kpconv_kernel, num_kernel_points=k, c_in=c_in, sigma=float(sigma),
-        pool_cols=pool_cols,
+        pool_cols=pool_cols, has_pool=pool_feats is not None,
+        has_count=return_count,
     )
-    out_specs = pl.BlockSpec(
+    out_specs = [pl.BlockSpec(
         (tile_m, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM
-    )
-    out_shape = jax.ShapeDtypeStruct((pad_m, c_out), jnp.float32)
+    )]
+    out_shape = [jax.ShapeDtypeStruct((pad_m, c_out), jnp.float32)]
     if pool_feats is not None:
-        out_specs = (out_specs, pl.BlockSpec(
+        out_specs.append(pl.BlockSpec(
             (tile_m, c_pool), lambda i: (i, 0), memory_space=pltpu.VMEM
         ))
-        out_shape = (out_shape, jax.ShapeDtypeStruct((pad_m, c_pool), jnp.float32))
+        out_shape.append(jax.ShapeDtypeStruct((pad_m, c_pool), jnp.float32))
+    if return_count:
+        out_specs.append(pl.BlockSpec(
+            (tile_m, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ))
+        out_shape.append(jax.ShapeDtypeStruct((pad_m, 8), jnp.float32))
+    if len(out_specs) == 1:
+        out_specs, out_shape = out_specs[0], out_shape[0]
+    else:
+        out_specs, out_shape = tuple(out_specs), tuple(out_shape)
     out = pl.pallas_call(
         kernel,
         grid=(num_tiles,),
@@ -239,13 +260,22 @@ def kpconv_fused(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(g, q_aug, kp_aug, weights)
-    if pool_feats is not None:
+    counts = pooled = None
+    if pool_feats is not None and return_count:
+        out, pooled, counts = out[0][:m], out[1][:m], out[2][:m, 0]
+    elif pool_feats is not None:
         out, pooled = out[0][:m], out[1][:m]
+    elif return_count:
+        out, counts = out[0][:m], out[1][:m, 0]
     else:
-        out, pooled = out[:m], None
+        out = out[:m]
     if bias is not None:
         out = out + bias
-    results = (out,) if pooled is None else (out, pooled)
+    results = (out,)
+    if pooled is not None:
+        results = results + (pooled,)
+    if counts is not None:
+        results = results + (counts,)
     if return_gathered:
         results = results + (g[:m], neighbor_indices)
     return results if len(results) > 1 else results[0]
@@ -381,3 +411,296 @@ def _kpconv_pool_diff_bwd(sigma, tile_m, pool_cols, res, cotangents):
 
 
 kpconv_pool_fused_diff.defvjp(_kpconv_pool_diff_fwd, _kpconv_pool_diff_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Scatter-free backward (inverse neighbor tables).
+#
+# XLA's TPU scatter-add lowering (sort + serial segment-sum) costs ~14 ns per
+# scattered row — the (M*H)-edge d_s_feats scatters were ~60% of the train
+# step. The backward here flips orientation: a host-built inverse table
+# (support row -> its queries, preprocess.pyramid.build_inverse_table) turns
+# the gradient push into a support-tile GATHER of [query point | dout/count]
+# rows (small source arrays: XLA's fast ~1.9 ns/row path) plus an in-VMEM
+# influence recompute, so d_s_feats is a dense per-tile OUTPUT and
+# d_weights accumulates across the grid. No scatter anywhere.
+# ---------------------------------------------------------------------------
+
+
+def _kpconv_bwd_kernel(*refs, num_kernel_points, c_in, c_out, c_pool, sigma):
+    """Per-support-tile backward.
+
+    Refs (inputs then outputs):
+    qg: (TN, J, AUG + c_out [+ 2*c_pool]) gathered query rows
+        [q(3), pad(5), dout/count (c_out) [, pooled (c_pool),
+         dpool/ties (c_pool)]]; shadow rows are all-zero.
+    s_aug: (TN, AUG); sf: (TN, c_in); kp: (K, AUG);
+    wt: (K, c_out, c_in) — weights pre-transposed
+    [; pf: (TN, c_pool) own pool features].
+    Outputs: dsf (TN, c_in); dw (K, c_in, c_out) accumulated over the grid
+    [; dpf (TN, c_pool) pool-feature gradient].
+    """
+    k = num_kernel_points
+    if c_pool:
+        (qg_ref, s_aug_ref, sf_ref, kp_ref, wt_ref, pf_ref,
+         dsf_ref, dw_ref, dpf_ref) = refs
+    else:
+        qg_ref, s_aug_ref, sf_ref, kp_ref, wt_ref, dsf_ref, dw_ref = refs
+    qg = qg_ref[...]
+    qp = qg[:, :, :3]  # (TN, J, 3)
+    gd = qg[:, :, _AUG : _AUG + c_out]  # (TN, J, c_out)
+    sp = s_aug_ref[...][:, :3]  # (TN, 3)
+    kp = kp_ref[...]
+    tn, j = qp.shape[0], qp.shape[1]
+
+    # Same offsets-first geometry as the forward. The offset must be
+    # support - query (the forward's neighbor offset): kernel-point
+    # dispositions are not mirror-symmetric, so the sign matters.
+    # Shadow rows contribute nothing: every output term below carries a
+    # gd / dpr factor, which is zero there.
+    off = sp[:, None, :] - qp
+    sq_off = jnp.sum(off * off, axis=-1)
+    off_dot_kp = jax.lax.dot_general(
+        off.reshape(tn * j, 3), kp[:, :3].T,
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    ).reshape(tn, j, k)
+    sq = sq_off[:, :, None] - 2.0 * off_dot_kp + kp[:, 3][None, None, :]
+    influence = jnp.maximum(
+        1.0 - jnp.sqrt(jnp.maximum(sq, 1e-20)) / sigma, 0.0
+    )  # (TN, J, K)
+
+    sfb = sf_ref[...].astype(MXU_DTYPE)
+
+    # u[t, k, d] = sum_j infl[t, j, k] * gd[t, j, d]: ONE batched MXU
+    # contraction over the inverse edges — the exact mirror of the forward
+    # kernel's influence/feature contraction. Then
+    #   d_s_feats = sum_k u[:, k, :] @ W_k^T    (TN, c_out) @ (c_out, c_in)
+    #   d_w[k]    = sf^T @ u[:, k, :]           (c_in, TN) @ (TN, c_out)
+    # are full-width MXU matmuls with no (TN*J, C) temporaries.
+    u = jax.lax.dot_general(
+        influence.astype(MXU_DTYPE), gd.astype(MXU_DTYPE),
+        (((1,), (1,)), ((0,), (0,))),
+        preferred_element_type=jnp.float32,
+    )  # (TN, K, c_out)
+    acc = jnp.zeros((tn, c_in), jnp.float32)
+    dw_parts = []
+    for kk in range(k):
+        u_kb = u[:, kk, :].astype(MXU_DTYPE)
+        acc = acc + jax.lax.dot_general(
+            u_kb, wt_ref[kk], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dw_parts.append(jax.lax.dot_general(
+            sfb, u_kb, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )[None])  # (1, c_in, c_out)
+    dsf_ref[...] = acc
+    dw = jnp.concatenate(dw_parts, axis=0)  # (K, c_in, c_out)
+
+    @pl.when(pl.program_id(0) == 0)
+    def _init():
+        dw_ref[...] = jnp.zeros_like(dw_ref)
+
+    dw_ref[...] += dw
+
+    if c_pool:
+        # maxpool backward, support side: this point receives dpool/ties
+        # from every query whose pooled value equals this point's feature
+        # (bit-exact f32 equality survives the gather).
+        pooled_g = qg[:, :, _AUG + c_out : _AUG + c_out + c_pool]
+        dpr = qg[:, :, _AUG + c_out + c_pool :]
+        pf_vals = pf_ref[...]  # (TN, c_pool) own pool features
+        is_max = (pf_vals[:, None, :] == pooled_g).astype(jnp.float32)
+        dpf_ref[...] = jnp.sum(is_max * dpr, axis=1)
+
+
+def kpconv_bwd_fused(
+    s_feats, s_points, q_points, gdiv, inverse_table, kernel_points, weights,
+    sigma, tile_n=None, interpret=None,
+    pool_feats=None, pooled=None, dpool_over_ties=None,
+):
+    """Scatter-free KPConv backward: (d_s_feats, d_weights [, d_pool_feats]).
+
+    Args:
+        s_feats: (N, C_in) the conv's input features (for d_weights).
+        s_points: (N, 3); q_points: (M, 3).
+        gdiv: (M, C_out) dout / neighbor count.
+        inverse_table: (N, J) int32 query rows per support row, sentinel M.
+        kernel_points: (K, 3); weights: (K, C_in, C_out).
+        pool_feats / pooled / dpool_over_ties: optional (N, C_p) / (M, C_p) /
+            (M, C_p) for the fused strided-shortcut maxpool backward.
+    """
+    n = s_points.shape[0]
+    m = q_points.shape[0]
+    k, c_in, c_out = weights.shape
+    c_pool = 0 if pool_feats is None else pool_feats.shape[1]
+    if tile_n is None:
+        # the (tile, J, C) gathered block + influence bound VMEM
+        tile_n = 128 if max(c_in, c_out) <= 256 else 64
+
+    src_parts = [
+        q_points,
+        jnp.zeros((m, _AUG - 3), q_points.dtype),
+        gdiv,
+    ]
+    if c_pool:
+        src_parts += [pooled, dpool_over_ties]
+    src = jnp.concatenate(src_parts, axis=1)
+    qg = gather_with_shadow(src, inverse_table, 0.0)  # (N, J, AUG+C_out[+2Cp])
+
+    s_aug = jnp.concatenate(
+        [s_points, jnp.zeros((n, _AUG - 3), s_points.dtype)], axis=1
+    )
+    kp_aug = jnp.concatenate(
+        [kernel_points, jnp.sum(kernel_points**2, -1, keepdims=True),
+         jnp.zeros((k, _AUG - 4), kernel_points.dtype)], axis=1,
+    )
+    wt = jnp.transpose(weights, (0, 2, 1))  # (K, C_out, C_in)
+
+    num_tiles = -(-n // tile_n)
+    pad_n = num_tiles * tile_n
+    sf = s_feats
+    pf = pool_feats
+    if pad_n != n:
+        qg = jnp.pad(qg, ((0, pad_n - n), (0, 0), (0, 0)))
+        s_aug = jnp.pad(s_aug, ((0, pad_n - n), (0, 0)))
+        sf = jnp.pad(sf, ((0, pad_n - n), (0, 0)))
+        if c_pool:
+            pf = jnp.pad(pf, ((0, pad_n - n), (0, 0)))
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    kernel = functools.partial(
+        _kpconv_bwd_kernel, num_kernel_points=k, c_in=c_in, c_out=c_out,
+        c_pool=c_pool, sigma=float(sigma),
+    )
+    in_specs = [
+        pl.BlockSpec((tile_n, qg.shape[1], qg.shape[2]), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, _AUG), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((tile_n, c_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, _AUG), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec(memory_space=pltpu.VMEM),
+    ]
+    out_specs = [
+        pl.BlockSpec((tile_n, c_in), lambda i: (i, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((k, c_in, c_out), lambda i: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    out_shape = [
+        jax.ShapeDtypeStruct((pad_n, c_in), jnp.float32),
+        jax.ShapeDtypeStruct((k, c_in, c_out), jnp.float32),
+    ]
+    args = [qg, s_aug, sf, kp_aug, wt]
+    if c_pool:
+        out_specs.append(pl.BlockSpec(
+            (tile_n, c_pool), lambda i: (i, 0), memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((pad_n, c_pool), jnp.float32))
+        in_specs.append(pl.BlockSpec(
+            (tile_n, c_pool), lambda i: (i, 0), memory_space=pltpu.VMEM))
+        args.append(pf)
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        out_shape=tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(*args)
+    if c_pool:
+        return out[0][:n], out[1], out[2][:n]
+    return out[0][:n], out[1]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 9))
+def kpconv_inv_fused_diff(s_feats, q_points, s_points, neighbor_indices,
+                          inverse_table, kernel_points, weights, sigma, bias,
+                          tile_m):
+    """Differentiable fused KPConv with the scatter-free inverse backward.
+
+    Same forward as :func:`kpconv_fused_diff`; the backward runs
+    :func:`kpconv_bwd_fused` over `inverse_table` instead of a scatter-add,
+    and no gathered-block residual is kept (memory win too)."""
+    return kpconv_fused(
+        s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
+        sigma, bias=bias, tile_m=tile_m,
+    )
+
+
+def _kpconv_inv_fwd(s_feats, q_points, s_points, neighbor_indices,
+                    inverse_table, kernel_points, weights, sigma, bias,
+                    tile_m):
+    out, counts = kpconv_fused(
+        s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
+        sigma, bias=bias, tile_m=tile_m, return_count=True,
+    )
+    res = (s_feats, q_points, s_points, counts, inverse_table, kernel_points,
+           weights, bias is not None)
+    return out, res
+
+
+def _kpconv_inv_bwd(sigma, tile_m, res, dout):
+    (s_feats, q_points, s_points, counts, inverse_table, kernel_points,
+     weights, has_bias) = res
+    gdiv = dout / counts[:, None]
+    d_s_feats, d_weights = kpconv_bwd_fused(
+        s_feats, s_points, q_points, gdiv, inverse_table, kernel_points,
+        weights, sigma,
+    )
+    d_bias = jnp.sum(dout, axis=0) if has_bias else None
+    return (d_s_feats, None, None, None, None, None, d_weights, d_bias)
+
+
+kpconv_inv_fused_diff.defvjp(_kpconv_inv_fwd, _kpconv_inv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 10, 11))
+def kpconv_pool_inv_fused_diff(s_feats, pool_feats, q_points, s_points,
+                               neighbor_indices, inverse_table, kernel_points,
+                               weights, sigma, bias, tile_m, pool_cols):
+    """Fused KPConv + strided-shortcut maxpool with scatter-free backward
+    for BOTH the conv features and the pooled shortcut."""
+    out, pooled = kpconv_fused(
+        s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
+        sigma, bias=bias, tile_m=tile_m,
+        pool_feats=pool_feats, pool_cols=pool_cols,
+    )
+    return out, pooled
+
+
+def _kpconv_pool_inv_fwd(s_feats, pool_feats, q_points, s_points,
+                         neighbor_indices, inverse_table, kernel_points,
+                         weights, sigma, bias, tile_m, pool_cols):
+    out, pooled, counts, gathered, nb_pad = kpconv_fused(
+        s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
+        sigma, bias=bias, tile_m=tile_m, return_count=True,
+        return_gathered=True, pool_feats=pool_feats, pool_cols=pool_cols,
+    )
+    c_in = weights.shape[1]
+    cols = pool_cols if pool_cols is not None else gathered.shape[1]
+    pool_block = gathered[:, :cols, _AUG + c_in :]
+    ties = jnp.sum(
+        (pool_block == pooled[:, None, :]).astype(jnp.float32), axis=1)
+    ties = jnp.maximum(ties, 1.0)
+    res = (s_feats, pool_feats, q_points, s_points, counts, inverse_table,
+           kernel_points, weights, bias is not None, pooled, ties)
+    return (out, pooled), res
+
+
+def _kpconv_pool_inv_bwd(sigma, tile_m, pool_cols, res, cotangents):
+    dout, dpool = cotangents
+    (s_feats, pool_feats, q_points, s_points, counts, inverse_table,
+     kernel_points, weights, has_bias, pooled, ties) = res
+    gdiv = dout / counts[:, None]
+    d_s_feats, d_weights, d_pool_feats = kpconv_bwd_fused(
+        s_feats, s_points, q_points, gdiv, inverse_table, kernel_points,
+        weights, sigma,
+        pool_feats=pool_feats, pooled=pooled, dpool_over_ties=dpool / ties,
+    )
+    d_bias = jnp.sum(dout, axis=0) if has_bias else None
+    return (d_s_feats, d_pool_feats, None, None, None, None, None, d_weights,
+            d_bias)
+
+
+kpconv_pool_inv_fused_diff.defvjp(_kpconv_pool_inv_fwd, _kpconv_pool_inv_bwd)

@@ -60,6 +60,9 @@ class KPConvFPN(nn.Module):
         neighbors = batch["neighbors"]
         subsampling = batch["subsampling"]
         upsampling = batch["upsampling"]
+        # host-built inverse tables (training batches): scatter-free backward
+        nb_inv = batch.get("neighbors_inv", [None] * self.num_stages)
+        sub_inv = batch.get("subsampling_inv", [None] * self.num_stages)
         d = self.init_dim
         k = self.kernel_size
 
@@ -70,6 +73,8 @@ class KPConvFPN(nn.Module):
             sigma = self.init_sigma * (2**i)
             cdim = d * (2**i)
             if i == 0:
+                # encoder1_1's input features are the network input — its
+                # d_s_feats is dead code, so no inverse table is passed.
                 x = ConvBlock(
                     self.input_dim, d, k, radius, sigma, self.group_norm,
                     use_pallas=self.use_pallas, name="encoder1_1",
@@ -77,7 +82,8 @@ class KPConvFPN(nn.Module):
                 x = ResidualBlock(
                     d, 2 * d, k, radius, sigma, self.group_norm,
                     use_pallas=self.use_pallas, name="encoder1_2",
-                )(x, points[0], points[0], neighbors[0], masks[0], masks[0])
+                )(x, points[0], points[0], neighbors[0], masks[0], masks[0],
+                  inverse_table=nb_inv[0])
             else:
                 pool_cols = (
                     self.neighbor_limits[i - 1] if self.neighbor_limits else None
@@ -87,15 +93,18 @@ class KPConvFPN(nn.Module):
                     strided=True, use_pallas=self.use_pallas,
                     pool_cols=pool_cols,
                     name=f"encoder{i + 1}_1",
-                )(x, points[i], points[i - 1], subsampling[i - 1], masks[i], masks[i - 1])
+                )(x, points[i], points[i - 1], subsampling[i - 1], masks[i], masks[i - 1],
+                  inverse_table=sub_inv[i - 1])
                 x = ResidualBlock(
                     cdim, 2 * cdim, k, radius, sigma, self.group_norm,
                     use_pallas=self.use_pallas, name=f"encoder{i + 1}_2",
-                )(x, points[i], points[i], neighbors[i], masks[i], masks[i])
+                )(x, points[i], points[i], neighbors[i], masks[i], masks[i],
+                  inverse_table=nb_inv[i])
                 x = ResidualBlock(
                     2 * cdim, 2 * cdim, k, radius, sigma, self.group_norm,
                     use_pallas=self.use_pallas, name=f"encoder{i + 1}_3",
-                )(x, points[i], points[i], neighbors[i], masks[i], masks[i])
+                )(x, points[i], points[i], neighbors[i], masks[i], masks[i],
+                  inverse_table=nb_inv[i])
             stage_feats.append(x)  # stage i feats: (N_i, 2^{i+1} d)
 
         feats_list = [stage_feats[-1]]

@@ -44,7 +44,7 @@ class KPConv(nn.Module):
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices,
-                 pool_feats=None, pool_cols=None):
+                 pool_feats=None, pool_cols=None, inverse_table=None):
         """KPConv forward.
 
         Args:
@@ -56,6 +56,9 @@ class KPConv(nn.Module):
                 same neighbor table inside the fused kernel (strided
                 shortcut); requires use_pallas.
             pool_cols: true neighbor limit bounding the pool columns.
+            inverse_table: optional (N, J) int32 host-built inverse of the
+                neighbor table (sentinel M) — switches the pallas path to
+                the scatter-free backward (training batches).
 
         Returns:
             (M, C_out) features, or (features, pooled) with pool_feats.
@@ -74,7 +77,9 @@ class KPConv(nn.Module):
         if self.use_pallas:
             from geotransformer_tpu.kernels.kpconv import (
                 kpconv_fused_diff,
+                kpconv_inv_fused_diff,
                 kpconv_pool_fused_diff,
+                kpconv_pool_inv_fused_diff,
             )
 
             bias = (
@@ -88,10 +93,22 @@ class KPConv(nn.Module):
                 tile_m = 64
             else:
                 tile_m = 32
+            if pool_feats is not None and inverse_table is not None:
+                return kpconv_pool_inv_fused_diff(
+                    s_feats, pool_feats, q_points, s_points, neighbor_indices,
+                    inverse_table, kernel_points, weights, self.sigma, bias,
+                    tile_m, pool_cols,
+                )
             if pool_feats is not None:
                 return kpconv_pool_fused_diff(
                     s_feats, pool_feats, q_points, s_points, neighbor_indices,
                     kernel_points, weights, self.sigma, bias, tile_m, pool_cols,
+                )
+            if inverse_table is not None:
+                return kpconv_inv_fused_diff(
+                    s_feats, q_points, s_points, neighbor_indices,
+                    inverse_table, kernel_points, weights, self.sigma, bias,
+                    tile_m,
                 )
             return kpconv_fused_diff(
                 s_feats, q_points, s_points, neighbor_indices,
@@ -221,12 +238,14 @@ class ConvBlock(nn.Module):
     use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_mask=None):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices,
+                 q_mask=None, inverse_table=None):
         x = KPConv(
             self.in_channels, self.out_channels, self.kernel_size,
             self.radius, self.sigma, use_bias=True,
             use_pallas=self.use_pallas, name="KPConv",
-        )(s_feats, q_points, s_points, neighbor_indices)
+        )(s_feats, q_points, s_points, neighbor_indices,
+          inverse_table=inverse_table)
         x = GroupNorm(self.group_norm, self.out_channels, name="norm")(x, q_mask)
         return leaky_relu(x)
 
@@ -243,7 +262,8 @@ class ResidualBlock(nn.Module):
     pool_cols: Optional[int] = None  # true (pre-alignment) neighbor limit
 
     @nn.compact
-    def __call__(self, s_feats, q_points, s_points, neighbor_indices, q_mask=None, s_mask=None):
+    def __call__(self, s_feats, q_points, s_points, neighbor_indices,
+                 q_mask=None, s_mask=None, inverse_table=None):
         mid_channels = self.out_channels // 4
 
         if self.in_channels != mid_channels:
@@ -261,12 +281,14 @@ class ResidualBlock(nn.Module):
                 mid_channels, mid_channels, self.kernel_size, self.radius, self.sigma,
                 use_bias=True, use_pallas=True, name="KPConv",
             )(x, q_points, s_points, neighbor_indices,
-              pool_feats=s_feats, pool_cols=self.pool_cols)
+              pool_feats=s_feats, pool_cols=self.pool_cols,
+              inverse_table=inverse_table)
         else:
             x = KPConv(
                 mid_channels, mid_channels, self.kernel_size, self.radius, self.sigma,
                 use_bias=True, use_pallas=self.use_pallas, name="KPConv",
-            )(x, q_points, s_points, neighbor_indices)
+            )(x, q_points, s_points, neighbor_indices,
+              inverse_table=inverse_table)
             shortcut = (
                 maxpool(s_feats, neighbor_indices, valid_cols=self.pool_cols)
                 if self.strided

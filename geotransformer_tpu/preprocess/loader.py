@@ -58,6 +58,7 @@ def prepare_pair(
     neighbor_limits,
     stage_caps,
     input_dim=1,
+    inverse_limits=None,
 ):
     """Build + pad one registration pair from a dataset sample dict.
 
@@ -94,7 +95,8 @@ def prepare_pair(
     else:
         feats = np.ones((points.shape[0], input_dim), np.float32)
     transform = np.asarray(sample.get("transform", np.eye(4)), np.float32)
-    batch = pad_registration_batch(pyramid, feats, transform, stage_caps)
+    batch = pad_registration_batch(
+        pyramid, feats, transform, stage_caps, inverse_limits=inverse_limits)
     batch["meta"] = {k: v for k, v in sample.items() if isinstance(v, (str, int, float))}
     return batch
 

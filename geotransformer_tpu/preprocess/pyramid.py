@@ -142,7 +142,38 @@ def _pad_rows(array, ref_len, src_len, cap, fill):
     return out
 
 
-def pad_registration_batch(pyramid, feats, transform, stage_caps):
+def build_inverse_table(table, num_support, j_cap):
+    """Fixed-capacity inverse of a neighbor table, for the scatter-free
+    KPConv backward (kernels/kpconv.kpconv_bwd_fused).
+
+    ``table`` is a padded (M, H) neighbor table (values in [0, num_support),
+    sentinel >= num_support). Returns (num_support, j_cap) int32 where row n
+    lists the query rows m with n in table[m], padded with sentinel M.
+    Raises if any support point's in-degree exceeds ``j_cap``.
+    """
+    table = np.asarray(table)
+    m_rows, h = table.shape
+    q_idx = np.repeat(np.arange(m_rows, dtype=np.int64), h)
+    v = table.reshape(-1).astype(np.int64)
+    keep = v < num_support
+    v, q_idx = v[keep], q_idx[keep]
+    order = np.argsort(v, kind="stable")
+    v, q_idx = v[order], q_idx[order]
+    counts = np.bincount(v, minlength=num_support)
+    if counts.max(initial=0) > j_cap:
+        raise ValueError(
+            f"max in-degree {int(counts.max())} exceeds inverse capacity "
+            f"{j_cap}; raise caps.inverse_limits for this stage"
+        )
+    seg_starts = np.cumsum(counts) - counts
+    rank = np.arange(len(v)) - np.repeat(seg_starts, counts)
+    inv = np.full((num_support, j_cap), m_rows, dtype=np.int32)
+    inv[v, rank] = q_idx
+    return inv
+
+
+def pad_registration_batch(pyramid, feats, transform, stage_caps,
+                           inverse_limits=None, sub_inverse_limits=None):
     """Convert an unpadded pyramid into a fixed-capacity PairBatch pytree.
 
     Args:
@@ -163,6 +194,13 @@ def pad_registration_batch(pyramid, feats, transform, stage_caps):
           upsampling[i]  (T_i, K_{i+1}) int32, sentinel T_{i+1}
           features       (T_0, C_in) float32
           transform      (4, 4) float32
+        With ``inverse_limits`` (a per-stage tuple of in-degree capacities
+        J_i, training batches only), additionally:
+          neighbors_inv[i]   (T_i, J_i) int32, sentinel T_i — inverse of
+              neighbors[i] (query rows per support row)
+          subsampling_inv[i] (T_i, J_{i+1}) int32, sentinel T_{i+1} —
+              inverse of subsampling[i]
+        consumed by the scatter-free Pallas KPConv backward.
     """
     num_stages = len(pyramid["points"])
     assert len(stage_caps) == num_stages
@@ -206,6 +244,28 @@ def pad_registration_batch(pyramid, feats, transform, stage_caps):
         up = _remap_indices(pyramid["upsampling"][i], ref_lens[i + 1], src_lens[i + 1], cap_sub)
         up = _pad_rows(up, ref_lens[i], src_lens[i], cap_cur, sent_sub)
         out["upsampling"].append(_pad_cols_to_sublane(up, sent_sub))
+
+    if inverse_limits is not None:
+        if sub_inverse_limits is None:
+            # subsampling in-degree is ~K/4 (each coarse point pools ~4 fine
+            # voxels); a quarter of the neighbor inverse limit covers it
+            sub_inverse_limits = tuple(
+                max(16, int(l) // 4 + 8) for l in inverse_limits[:-1])
+        out["neighbors_inv"] = []
+        out["subsampling_inv"] = []
+        for i in range(num_stages):
+            rows = out["neighbors"][i].shape[0]
+            out["neighbors_inv"].append(_pad_cols_to_sublane(
+                build_inverse_table(
+                    out["neighbors"][i], rows, int(inverse_limits[i])),
+                np.int32(rows)))
+            if i < num_stages - 1:
+                rows_sub = out["subsampling"][i].shape[0]
+                out["subsampling_inv"].append(_pad_cols_to_sublane(
+                    build_inverse_table(
+                        out["subsampling"][i], rows,
+                        int(sub_inverse_limits[i])),
+                    np.int32(rows_sub)))
 
     out["features"] = _pad_rows(
         np.asarray(feats, dtype=np.float32), ref_lens[0], src_lens[0],

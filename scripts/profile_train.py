@@ -1,0 +1,63 @@
+#!/usr/bin/env python
+"""Trace one train step on the TPU and print the top device ops by time."""
+import glob, gzip, json, os.path as osp, shutil, sys
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
+import numpy as np
+import jax, jax.numpy as jnp
+jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+
+from geotransformer_tpu.configs import make_3dmatch_config
+from geotransformer_tpu.preprocess import build_pyramid, pad_registration_batch, caps_for_pyramid
+from geotransformer_tpu.models import create_model
+from geotransformer_tpu.parallel.train import init_train_state, make_optimizer, make_train_step
+
+ref = np.load("/root/reference/data/demo/ref.npy").astype(np.float32)
+src = np.load("/root/reference/data/demo/src.npy").astype(np.float32)
+points = np.concatenate([ref, src], 0)
+lengths = np.asarray([len(ref), len(src)])
+cfg = make_3dmatch_config()
+pyr = build_pyramid(points, lengths, 4, cfg.backbone.init_voxel_size,
+                    cfg.backbone.init_radius, list(cfg.caps.neighbor_limits))
+caps = tuple(caps_for_pyramid(pyr, multiple=256, per_cloud=True))
+cfg = cfg.with_caps(stage_caps=caps)
+feats = np.ones((points.shape[0], 1), np.float32)
+batch = jax.tree.map(jnp.asarray, pad_registration_batch(pyr, feats, np.eye(4, dtype=np.float32), caps))
+model = create_model(cfg)
+tx = make_optimizer(cfg, steps_per_epoch=10, world_size=1)
+state = init_train_state(model, cfg, jax.random.PRNGKey(0), batch, tx)
+step = make_train_step(model, cfg, tx, mesh=None)
+b1 = jax.tree.map(lambda x: x[None], batch)
+rng = jax.random.PRNGKey(1)
+s, aux = step(state, b1, rng); float(aux["loss"])  # compile+sync
+
+trace_dir = "/tmp/train_trace"
+shutil.rmtree(trace_dir, ignore_errors=True)
+with jax.profiler.trace(trace_dir):
+    out = state, None
+    s2 = state
+    for _ in range(3):
+        s2, aux = step(s2, b1, rng)
+    float(aux["loss"])
+
+# parse
+files = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
+ev = []
+for f in files:
+    with gzip.open(f, "rt") as fh:
+        data = json.load(fh)
+    pids = {p["pid"]: p.get("args", {}).get("name", str(p.get("pid"))) 
+            for p in [e for e in data["traceEvents"] if e.get("ph") == "M" and e.get("name") == "process_name"]}
+    tpu_pids = {pid for pid, name in pids.items() if "TPU" in str(name) or "tpu" in str(name)}
+    for e in data["traceEvents"]:
+        if e.get("ph") == "X" and e.get("pid") in tpu_pids and "dur" in e:
+            ev.append(e)
+from collections import defaultdict
+by_name = defaultdict(float)
+total = 0.0
+for e in ev:
+    # keep only leaf-ish op events (XLA ops have 'args' with long names)
+    nm = e.get("name", "?")
+    by_name[nm] += e["dur"]
+for nm, d in sorted(by_name.items(), key=lambda kv: -kv[1])[:35]:
+    print(f"{d/3/1000.0:9.3f} ms  {nm[:110]}")

@@ -28,7 +28,7 @@ from geotransformer_tpu.parallel.train import (
 )
 
 
-def make_pair(cfg, seed):
+def make_pair(cfg, seed, with_inverse=True):
     r = np.random.default_rng(seed)
     xy = r.uniform(0, 1, (3500, 2)).astype(np.float32)
     z = 0.2 * np.sin(5 * xy[:, 0]) * np.cos(4 * xy[:, 1]) + 0.01 * r.normal(size=3500)
@@ -52,7 +52,11 @@ def make_pair(cfg, seed):
     )
     feats = np.ones((pts.shape[0], 1), np.float32)
     return jax.tree.map(
-        jnp.asarray, pad_registration_batch(pyramid, feats, transform, cfg.caps.stage_caps)
+        jnp.asarray,
+        pad_registration_batch(
+            pyramid, feats, transform, cfg.caps.stage_caps,
+            inverse_limits=cfg.caps.inverse_limits if with_inverse else None,
+        ),
     )
 
 

@@ -74,10 +74,12 @@ def main():
         stage_caps=cfg.caps.stage_caps,
         input_dim=cfg.backbone.input_dim,
     )
+    # training batches carry inverse neighbor tables (scatter-free backward)
+    train_pipeline_cfg = dict(pipeline_cfg, inverse_limits=cfg.caps.inverse_limits)
     train_subset = "train"
     val_subset = "val"
     train_loader = PairLoader(
-        build_dataset(cfg, args, train_subset, True), pipeline_cfg,
+        build_dataset(cfg, args, train_subset, True), train_pipeline_cfg,
         batch_size=batch_size, shuffle=True, num_workers=args.num_workers,
         seed=cfg.seed, num_shards=jax.process_count(), shard_index=jax.process_index(),
     )
@@ -88,7 +90,7 @@ def main():
 
     model = create_model(cfg)
     trainer = Trainer(cfg, model, train_loader, val_loader, output_dir=output_dir)
-    example = prepare_pair(build_dataset(cfg, args, train_subset, True)[0], **pipeline_cfg)
+    example = prepare_pair(build_dataset(cfg, args, train_subset, True)[0], **train_pipeline_cfg)
     example.pop("meta", None)
     trainer.initialize(example)
     if args.iters:

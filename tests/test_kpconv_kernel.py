@@ -238,3 +238,85 @@ class TestKPConvGradients:
                 np.asarray(b_) / scale, np.asarray(a) / scale, atol=2e-2,
                 err_msg=name,
             )
+
+
+class TestInverseBackward:
+    """Scatter-free inverse backward vs the scatter-add backward."""
+
+    def _setup(self, rng, n=300, m=200, h=10, cin=16, cout=24, j=24):
+        import numpy as np
+        s_points = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        q_points = rng.uniform(0, 1, (m, 3)).astype(np.float32)
+        s_feats = rng.normal(size=(n, cin)).astype(np.float32)
+        neighbors = rng.integers(0, n + 1, (m, h)).astype(np.int32)
+        # unique per row (the inverse build assumes distinct edges)
+        for r in range(m):
+            neighbors[r] = np.random.default_rng(r).choice(n + 1, h, replace=False)
+        from geotransformer_tpu.preprocess.pyramid import build_inverse_table
+        inv = build_inverse_table(neighbors, n, j)
+        conv = KPConv(cin, cout, 15, 0.1, 0.08, use_bias=True)
+        variables = conv.init(
+            jax.random.PRNGKey(0), jnp.asarray(s_feats), jnp.asarray(q_points),
+            jnp.asarray(s_points), jnp.asarray(neighbors),
+        )
+        return s_points, q_points, s_feats, neighbors, inv, variables
+
+    def test_grads_match_scatter_path(self, rng):
+        from geotransformer_tpu.kernels.kpconv import (
+            kpconv_fused_diff, kpconv_inv_fused_diff,
+        )
+        s_points, q_points, s_feats, neighbors, inv, variables = self._setup(rng)
+        kp = variables["constants"]["kernel_points"]
+        w = variables["params"]["weights"]
+        b = variables["params"]["bias"]
+
+        def loss_old(sf, w_, b_):
+            out = kpconv_fused_diff(
+                sf, jnp.asarray(q_points), jnp.asarray(s_points),
+                jnp.asarray(neighbors), kp, w_, 0.08, b_, 64)
+            return jnp.sum(jnp.sin(out))
+
+        def loss_new(sf, w_, b_):
+            out = kpconv_inv_fused_diff(
+                sf, jnp.asarray(q_points), jnp.asarray(s_points),
+                jnp.asarray(neighbors), jnp.asarray(inv), kp, w_, 0.08, b_, 64)
+            return jnp.sum(jnp.sin(out))
+
+        args = (jnp.asarray(s_feats), w, b)
+        v_old, g_old = jax.value_and_grad(loss_old, argnums=(0, 1, 2))(*args)
+        v_new, g_new = jax.value_and_grad(loss_new, argnums=(0, 1, 2))(*args)
+        np.testing.assert_allclose(float(v_old), float(v_new), rtol=1e-6)
+        for a, b_ in zip(g_old, g_new):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=3e-2, atol=3e-3)
+
+    def test_pool_grads_match_scatter_path(self, rng):
+        from geotransformer_tpu.kernels.kpconv import (
+            kpconv_pool_fused_diff, kpconv_pool_inv_fused_diff,
+        )
+        s_points, q_points, s_feats, neighbors, inv, variables = self._setup(rng)
+        kp = variables["constants"]["kernel_points"]
+        w = variables["params"]["weights"]
+        b = variables["params"]["bias"]
+        pool = rng.normal(size=(s_points.shape[0], 20)).astype(np.float32)
+
+        def loss_old(sf, pf, w_, b_):
+            out, pooled = kpconv_pool_fused_diff(
+                sf, pf, jnp.asarray(q_points), jnp.asarray(s_points),
+                jnp.asarray(neighbors), kp, w_, 0.08, b_, 64, 8)
+            return jnp.sum(jnp.sin(out)) + jnp.sum(jnp.cos(pooled))
+
+        def loss_new(sf, pf, w_, b_):
+            out, pooled = kpconv_pool_inv_fused_diff(
+                sf, pf, jnp.asarray(q_points), jnp.asarray(s_points),
+                jnp.asarray(neighbors), jnp.asarray(inv), kp, w_, 0.08, b_,
+                64, 8)
+            return jnp.sum(jnp.sin(out)) + jnp.sum(jnp.cos(pooled))
+
+        args = (jnp.asarray(s_feats), jnp.asarray(pool), w, b)
+        v_old, g_old = jax.value_and_grad(loss_old, argnums=(0, 1, 2, 3))(*args)
+        v_new, g_new = jax.value_and_grad(loss_new, argnums=(0, 1, 2, 3))(*args)
+        np.testing.assert_allclose(float(v_old), float(v_new), rtol=1e-6)
+        for a, b_ in zip(g_old, g_new):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(b_), rtol=3e-2, atol=3e-3)
