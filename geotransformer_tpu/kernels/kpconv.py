@@ -44,11 +44,12 @@ _AUG = 8  # lanes reserved for [s(3), |s|^2(1), padding(4)]
 
 def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
                    num_kernel_points, c_in, sigma, pool_cols=None,
-                   has_pool=False, has_count=False):
+                   has_pool=False, has_count=False, has_t1=False):
     k = num_kernel_points
     extras = list(extras)
     pool_ref = [extras.pop(0)] if has_pool else []
     count_ref = extras.pop(0) if has_count else None
+    t1_ref = extras.pop(0) if has_t1 else None
     if pool_ref:
         # Fused strided-shortcut maxpool (reference modules.py:216-218 +
         # functional.py:54-67): the trailing lanes of the gathered block
@@ -110,6 +111,8 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
         out_ref[...] = acc / count[:, None]
         if count_ref is not None:
             count_ref[...] = jnp.broadcast_to(count[:, None], count_ref.shape)
+        if t1_ref is not None:
+            t1_ref[...] = t1
         return
 
     # Batched MXU contraction over neighbors (Mosaic supports batch dims):
@@ -137,7 +140,7 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
 def kpconv_fused(
     s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
     sigma, bias=None, tile_m=128, interpret=None, return_gathered=False,
-    pool_feats=None, pool_cols=None, return_count=False,
+    pool_feats=None, pool_cols=None, return_count=False, return_t1=False,
 ):
     """Fused KPConv forward.
 
@@ -161,6 +164,9 @@ def kpconv_fused(
         return_count: also return the per-query positive-feature neighbor
             count (M,) — the residual the scatter-free inverse backward
             needs (it cannot recompute a query-side quantity).
+        return_t1: (c_in == 1 only) also return the influence row-sums
+            t1 (M, K) — the ONLY residual the input-layer d_weights needs,
+            replacing the whole (M, H, 3) influence recompute.
 
     Returns:
         (M, C_out) float32 features [, (M, C_pool) pooled feats]
@@ -222,8 +228,9 @@ def kpconv_fused(
     kernel = functools.partial(
         _kpconv_kernel, num_kernel_points=k, c_in=c_in, sigma=float(sigma),
         pool_cols=pool_cols, has_pool=pool_feats is not None,
-        has_count=return_count,
+        has_count=return_count, has_t1=return_t1,
     )
+    assert not (return_t1 and c_in != 1)
     out_specs = [pl.BlockSpec(
         (tile_m, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM
     )]
@@ -238,6 +245,11 @@ def kpconv_fused(
             (tile_m, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
         ))
         out_shape.append(jax.ShapeDtypeStruct((pad_m, 8), jnp.float32))
+    if return_t1:
+        out_specs.append(pl.BlockSpec(
+            (tile_m, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+        ))
+        out_shape.append(jax.ShapeDtypeStruct((pad_m, k), jnp.float32))
     if len(out_specs) == 1:
         out_specs, out_shape = out_specs[0], out_shape[0]
     else:
@@ -260,15 +272,15 @@ def kpconv_fused(
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
     )(g, q_aug, kp_aug, weights)
-    counts = pooled = None
-    if pool_feats is not None and return_count:
-        out, pooled, counts = out[0][:m], out[1][:m], out[2][:m, 0]
-    elif pool_feats is not None:
-        out, pooled = out[0][:m], out[1][:m]
-    elif return_count:
-        out, counts = out[0][:m], out[1][:m, 0]
-    else:
-        out = out[:m]
+    counts = pooled = t1 = None
+    rest = list(out) if isinstance(out, (tuple, list)) else [out]
+    out = rest.pop(0)[:m]
+    if pool_feats is not None:
+        pooled = rest.pop(0)[:m]
+    if return_count:
+        counts = rest.pop(0)[:m, 0]
+    if return_t1:
+        t1 = rest.pop(0)[:m]
     if bias is not None:
         out = out + bias
     results = (out,)
@@ -276,6 +288,8 @@ def kpconv_fused(
         results = results + (pooled,)
     if counts is not None:
         results = results + (counts,)
+    if t1 is not None:
+        results = results + (t1,)
     if return_gathered:
         results = results + (g[:m], neighbor_indices)
     return results if len(results) > 1 else results[0]
@@ -704,3 +718,44 @@ def _kpconv_pool_inv_bwd(sigma, tile_m, pool_cols, res, cotangents):
 
 
 kpconv_pool_inv_fused_diff.defvjp(_kpconv_pool_inv_fwd, _kpconv_pool_inv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 8))
+def kpconv_input_fused_diff(s_feats, q_points, s_points, neighbor_indices,
+                            kernel_points, weights, sigma, bias, tile_m):
+    """Input-layer fused KPConv (c_in == 1, features = network input).
+
+    The backward propagates d_weights / d_bias only — the input features
+    are the network input (the reference's first conv sees
+    requires_grad=False features too), so d_s_feats is zero and the whole
+    (M, H, 3) influence recompute disappears: the forward's t1 = influence
+    row-sums (M, K) is the only residual d_weights needs."""
+    return kpconv_fused(
+        s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
+        sigma, bias=bias, tile_m=tile_m,
+    )
+
+
+def _kpconv_input_fwd(s_feats, q_points, s_points, neighbor_indices,
+                      kernel_points, weights, sigma, bias, tile_m):
+    out, counts, t1 = kpconv_fused(
+        s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
+        sigma, bias=bias, tile_m=tile_m, return_count=True, return_t1=True,
+    )
+    res = (t1, counts, s_feats.shape, bias is not None)
+    return out, res
+
+
+def _kpconv_input_bwd(sigma, tile_m, res, dout):
+    t1, counts, sf_shape, has_bias = res
+    gdiv = dout / counts[:, None]
+    # d_w[k, 0, d] = sum_m t1[m, k] * dout[m, d] / count[m]
+    d_weights = jax.lax.dot_general(
+        t1, gdiv, (((0,), (0,)), ((), ())),
+    )[:, None, :]  # (K, 1, C_out)
+    d_bias = jnp.sum(dout, axis=0) if has_bias else None
+    return (jnp.zeros(sf_shape, dout.dtype), None, None, None, None,
+            d_weights, d_bias)
+
+
+kpconv_input_fused_diff.defvjp(_kpconv_input_fwd, _kpconv_input_bwd)

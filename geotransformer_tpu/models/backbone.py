@@ -77,7 +77,8 @@ class KPConvFPN(nn.Module):
                 # d_s_feats is dead code, so no inverse table is passed.
                 x = ConvBlock(
                     self.input_dim, d, k, radius, sigma, self.group_norm,
-                    use_pallas=self.use_pallas, name="encoder1_1",
+                    use_pallas=self.use_pallas,
+                    input_layer=self.input_dim == 1, name="encoder1_1",
                 )(x, points[0], points[0], neighbors[0], masks[0])
                 x = ResidualBlock(
                     d, 2 * d, k, radius, sigma, self.group_norm,

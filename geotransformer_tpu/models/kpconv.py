@@ -41,6 +41,8 @@ class KPConv(nn.Module):
     sigma: float
     use_bias: bool = False
     use_pallas: bool = False  # fused VMEM kernel (forward-only; inference)
+    input_layer: bool = False  # c_in==1 network input: zero feature grads,
+    #                            light t1-residual backward
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices,
@@ -77,6 +79,7 @@ class KPConv(nn.Module):
         if self.use_pallas:
             from geotransformer_tpu.kernels.kpconv import (
                 kpconv_fused_diff,
+                kpconv_input_fused_diff,
                 kpconv_inv_fused_diff,
                 kpconv_pool_fused_diff,
                 kpconv_pool_inv_fused_diff,
@@ -109,6 +112,11 @@ class KPConv(nn.Module):
                     s_feats, q_points, s_points, neighbor_indices,
                     inverse_table, kernel_points, weights, self.sigma, bias,
                     tile_m,
+                )
+            if self.input_layer and self.in_channels == 1:
+                return kpconv_input_fused_diff(
+                    s_feats, q_points, s_points, neighbor_indices,
+                    kernel_points, weights, self.sigma, bias, tile_m,
                 )
             return kpconv_fused_diff(
                 s_feats, q_points, s_points, neighbor_indices,
@@ -236,6 +244,7 @@ class ConvBlock(nn.Module):
     sigma: float
     group_norm: int
     use_pallas: bool = False
+    input_layer: bool = False
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices,
@@ -243,7 +252,8 @@ class ConvBlock(nn.Module):
         x = KPConv(
             self.in_channels, self.out_channels, self.kernel_size,
             self.radius, self.sigma, use_bias=True,
-            use_pallas=self.use_pallas, name="KPConv",
+            use_pallas=self.use_pallas, input_layer=self.input_layer,
+            name="KPConv",
         )(s_feats, q_points, s_points, neighbor_indices,
           inverse_table=inverse_table)
         x = GroupNorm(self.group_norm, self.out_channels, name="norm")(x, q_mask)

@@ -178,12 +178,16 @@ def get_node_correspondences(
         s_knn = src_knn_points[c_idx]  # (c, S, K, 3)
         s_knn_mask = src_knn_masks[c_idx]  # (c, S, K)
         d2 = pairwise_distance(r_knn[:, None, :, :], s_knn)  # (c, S, K, K)
-        pm = jnp.logical_and(
-            r_knn_mask[:, None, :, None], s_knn_mask[:, :, None, :]
+        # f32 0/1 matches instead of booleans: TPU packs preds at (8,128)
+        # with 4x sublane replication, and the packed any/sum reductions
+        # dominated this body's profile; max/sum over f32 vectorize cleanly.
+        pm = (
+            r_knn_mask[:, None, :, None].astype(jnp.float32)
+            * s_knn_mask[:, :, None, :].astype(jnp.float32)
         )  # (c, S, K, K)
-        match = jnp.logical_and(d2 < pos_radius**2, pm)
-        ref_counts = jnp.sum(jnp.any(match, axis=3), axis=2).astype(jnp.float32)  # (c, S)
-        src_counts = jnp.sum(jnp.any(match, axis=2), axis=2).astype(jnp.float32)  # (c, S)
+        match = (d2 < pos_radius**2).astype(jnp.float32) * pm
+        ref_counts = jnp.sum(jnp.max(match, axis=3), axis=2)  # (c, S)
+        src_counts = jnp.sum(jnp.max(match, axis=2), axis=2)  # (c, S)
         ref_total = jnp.maximum(jnp.sum(r_knn_mask, axis=1).astype(jnp.float32), 1.0)
         src_total = jnp.maximum(jnp.sum(s_knn_mask, axis=2).astype(jnp.float32), 1.0)
         overlaps = 0.5 * (ref_counts / ref_total[:, None] + src_counts / src_total)

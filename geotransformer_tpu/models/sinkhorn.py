@@ -86,6 +86,12 @@ class LearnableLogOptimalTransport(nn.Module):
             )
             return outputs - norm[:, None, None]
 
+        # jax.checkpoint: without it the scan stores two (B, M+1, N+1)
+        # logsumexp residuals PER ITERATION (100 x 4.3 MB on the demo pair)
+        # for the backward; rematerializing them from the tiny (u, v) carry
+        # trades cheap VPU recompute for ~900 MB of HBM traffic. (The torch
+        # reference pays the full autograd storage here.)
+        @jax.checkpoint
         def body(carry, _):
             u, v = carry
             u = log_mu - jax.nn.logsumexp(padded_scores + v[:, None, :], axis=2)
