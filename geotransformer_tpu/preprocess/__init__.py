@@ -15,4 +15,5 @@ from geotransformer_tpu.preprocess.calibrate import (
     calibrate_neighbor_limits,
     calibrate_stage_caps,
     calibrate_stage_cap_buckets,
+    calibrate_inverse_limits,
 )

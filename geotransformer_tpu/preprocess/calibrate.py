@@ -132,3 +132,49 @@ def calibrate_stage_cap_buckets(
             caps = tuple(max(c, p) for c, p in zip(caps, buckets[-1]))
         buckets.append(caps)
     return buckets
+
+
+def calibrate_inverse_limits(
+    sample_iter,
+    num_stages,
+    voxel_size,
+    search_radius,
+    neighbor_limits,
+    num_samples=64,
+    margin=8,
+    multiple=8,
+):
+    """Measure neighbor-table in-degrees; pick inverse-table capacities.
+
+    The scatter-free KPConv backward (kernels/kpconv.kpconv_bwd_fused)
+    needs a static per-stage bound J on how many queries can list one
+    support point as a neighbor. Radius-graph in-degree is ~2x the
+    (truncated) out-degree at the skew tail, so the config default is
+    2 * neighbor_limit; this measures the actual dataset maximum + margin.
+
+    Returns (inverse_limits, sub_inverse_limits): per-stage bounds for the
+    same-stage neighbor tables and per-link bounds for the subsampling
+    tables (``caps.inverse_limits`` / ``pad_registration_batch`` args).
+    """
+    nb_max = np.zeros(num_stages, dtype=np.int64)
+    sub_max = np.zeros(max(num_stages - 1, 0), dtype=np.int64)
+    for n, sample in enumerate(sample_iter):
+        if n >= num_samples:
+            break
+        points = np.concatenate([sample["ref_points"], sample["src_points"]], axis=0)
+        lengths = np.asarray([len(sample["ref_points"]), len(sample["src_points"])])
+        pyramid = build_pyramid(
+            points, lengths, num_stages, voxel_size, search_radius, neighbor_limits
+        )
+        totals = [int(np.sum(l)) for l in pyramid["lengths"]]
+        for i, table in enumerate(pyramid["neighbors"]):
+            v = table[table < totals[i]]
+            deg = np.bincount(v, minlength=totals[i])
+            nb_max[i] = max(nb_max[i], int(deg.max(initial=0)))
+        for i, table in enumerate(pyramid["subsampling"]):
+            v = table[table < totals[i]]
+            deg = np.bincount(v, minlength=totals[i])
+            sub_max[i] = max(sub_max[i], int(deg.max(initial=0)))
+    inv = [round_up(int(m) + margin, multiple) for m in nb_max]
+    sub = [round_up(int(m) + margin, multiple) for m in sub_max]
+    return inv, sub

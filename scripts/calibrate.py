@@ -14,7 +14,9 @@ import sys
 sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 from geotransformer_tpu.configs import make_config
-from geotransformer_tpu.preprocess import calibrate_neighbor_limits, calibrate_stage_caps
+from geotransformer_tpu.preprocess import (
+    calibrate_inverse_limits, calibrate_neighbor_limits, calibrate_stage_caps,
+)
 
 
 def main():
@@ -55,7 +57,15 @@ def main():
         cfg.backbone.init_radius, limits,
         num_samples=args.num_samples, quantile=args.quantile,
     )
-    print(json.dumps({"neighbor_limits": limits, "stage_caps": caps}))
+    inverse_limits, sub_inverse_limits = calibrate_inverse_limits(
+        sample_iter(), cfg.backbone.num_stages, cfg.backbone.init_voxel_size,
+        cfg.backbone.init_radius, limits, num_samples=args.num_samples,
+    )
+    print(json.dumps({
+        "neighbor_limits": limits, "stage_caps": caps,
+        "inverse_limits": inverse_limits,
+        "sub_inverse_limits": sub_inverse_limits,
+    }))
 
 
 if __name__ == "__main__":
