@@ -549,8 +549,15 @@ def kpconv_bwd_fused(
     k, c_in, c_out = weights.shape
     c_pool = 0 if pool_feats is None else pool_feats.shape[1]
     if tile_n is None:
-        # the (tile, J, C) gathered block + influence bound VMEM
-        tile_n = 128 if max(c_in, c_out) <= 256 else 64
+        # the double-buffered (tile, J, lanes) gathered block + the
+        # (tile, J, K) influence bound VMEM; pick the largest power-of-two
+        # tile that keeps the block under ~24 MB (KITTI's deepest strided
+        # block gathers 8 + 256 + 2*1024 lanes per edge)
+        j_cols = inverse_table.shape[1]
+        lanes = _AUG + c_out + 2 * c_pool
+        tile_n = 128
+        while tile_n > 16 and tile_n * j_cols * lanes * 4 > 24 * 1024 * 1024:
+            tile_n //= 2
 
     src_parts = [
         q_points,

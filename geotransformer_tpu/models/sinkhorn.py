@@ -63,17 +63,23 @@ class LearnableLogOptimalTransport(nn.Module):
 
         num_valid_row = jnp.sum(row_masks.astype(scores.dtype), axis=1)
         num_valid_col = jnp.sum(col_masks.astype(scores.dtype), axis=1)
-        norm = -jnp.log(num_valid_row + num_valid_col)  # (B,)
+        # Clamp the log arguments: a fully-masked (padded correspondence
+        # slot) patch has zero valid rows/cols, and log(0) = -inf here
+        # poisons the whole plan with NaN (0 * NaN = NaN survives the loss
+        # masking). The clamps only touch empty patches — their plan is
+        # garbage either way, but FINITE garbage that masks cleanly. The
+        # reference never sees empty patches (dynamic shapes).
+        norm = -jnp.log(jnp.maximum(num_valid_row + num_valid_col, 1.0))
 
         log_mu = jnp.concatenate(
             [jnp.broadcast_to(norm[:, None], (batch_size, num_row)),
-             (jnp.log(num_valid_col) + norm)[:, None]],
+             (jnp.log(jnp.maximum(num_valid_col, 1.0)) + norm)[:, None]],
             axis=1,
         )
         log_mu = jnp.where(padded_row_masks, -_INF, log_mu)
         log_nu = jnp.concatenate(
             [jnp.broadcast_to(norm[:, None], (batch_size, num_col)),
-             (jnp.log(num_valid_row) + norm)[:, None]],
+             (jnp.log(jnp.maximum(num_valid_row, 1.0)) + norm)[:, None]],
             axis=1,
         )
         log_nu = jnp.where(padded_col_masks, -_INF, log_nu)

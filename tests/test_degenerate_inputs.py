@@ -46,3 +46,38 @@ class TestDegenerateClouds:
     def test_tiny_vs_normal(self, rng):
         ref = rng.uniform(0, 0.5, (120, 3)).astype(np.float32)
         _run(ref, ref[:3] + 0.005)
+
+
+class TestEmptyPatchSinkhorn:
+    """Fully-masked correspondence slots must yield FINITE Sinkhorn plans.
+
+    A padded (all-invalid) patch used to hit log(0) in the marginals
+    (norm = -log(0) = inf), poisoning the fine loss with NaN (0 * NaN
+    survives the loss masking) and making the trainer's finite-grad guard
+    silently skip every step on sparse-overlap batches."""
+
+    def test_empty_patch_is_finite_and_differentiable(self):
+        import jax
+        import jax.numpy as jnp
+        import numpy as np
+        from geotransformer_tpu.models.sinkhorn import LearnableLogOptimalTransport
+
+        rng = np.random.default_rng(0)
+        scores = jnp.asarray(rng.normal(size=(3, 8, 8)), jnp.float32)
+        row_masks = jnp.asarray(
+            [[True] * 8, [True] * 5 + [False] * 3, [False] * 8])
+        col_masks = jnp.asarray(
+            [[True] * 8, [True] * 6 + [False] * 2, [False] * 8])
+        mod = LearnableLogOptimalTransport(10, backend="scan")
+
+        def loss(s):
+            variables = mod.init(jax.random.PRNGKey(0), s, row_masks, col_masks)
+            out = mod.apply(variables, s, row_masks, col_masks)
+            # mimic the fine loss: a zero-label patch must contribute 0, not NaN
+            m = jnp.zeros_like(out).at[0, 0, 0].set(1.0)
+            return jnp.sum(out * m) / jnp.maximum(jnp.sum(m), 1.0), out
+
+        (value, out), grads = jax.value_and_grad(loss, has_aux=True)(scores)
+        assert np.isfinite(float(value))
+        assert np.all(np.isfinite(np.asarray(out)))  # ALL patches finite
+        assert np.all(np.isfinite(np.asarray(grads)))
