@@ -172,13 +172,49 @@ def _pair_search(points_a, lengths_a, points_b, lengths_b, cap_a, cap_b,
     return _pad_cols(idx.reshape(2 * cap_a, k), jnp.int32(2 * cap_b))
 
 
+def build_inverse_table_device(table, num_support, j_cap):
+    """On-device inverse of a padded neighbor table (jit-compatible,
+    scatter-free): sort the edge list by support id (stable, so the query
+    order matches the host :func:`..pyramid.build_inverse_table` exactly),
+    find each support's segment with a vectorized binary search, and GATHER
+    its queries into the fixed-capacity rows.
+
+    Args:
+        table: (M, H) int32, values in [0, num_support), sentinel >= it.
+        num_support: static support row count (and sentinel base).
+        j_cap: static in-degree capacity J.
+
+    Returns:
+        (inv (num_support, j_cap) int32 with sentinel M, overflow bool).
+    """
+    m_rows, h = table.shape
+    v = table.reshape(-1).astype(jnp.int32)
+    q = jax.lax.broadcasted_iota(jnp.int32, (m_rows, h), 0).reshape(-1)
+    v = jnp.where(v < num_support, v, _INT_MAX)
+    v_sorted, q_sorted = jax.lax.sort((v, q), num_keys=1)
+
+    starts = jnp.searchsorted(v_sorted, jnp.arange(num_support + 1))
+    deg = starts[1:] - starts[:-1]  # (num_support,)
+    overflow = jnp.any(deg > j_cap)
+    pos = starts[:-1, None] + jnp.arange(j_cap)[None, :]
+    valid = jnp.arange(j_cap)[None, :] < deg[:, None]
+    inv = jnp.where(
+        valid,
+        q_sorted[jnp.minimum(pos, v.shape[0] - 1)],
+        m_rows,
+    ).astype(jnp.int32)
+    return inv, overflow
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "num_stages", "voxel_size", "radius", "neighbor_limits", "stage_caps"),
+        "num_stages", "voxel_size", "radius", "neighbor_limits", "stage_caps",
+        "inverse_limits", "sub_inverse_limits"),
 )
 def build_pyramid_device(points, lengths, feats, transform, num_stages,
-                         voxel_size, radius, neighbor_limits, stage_caps):
+                         voxel_size, radius, neighbor_limits, stage_caps,
+                         inverse_limits=None, sub_inverse_limits=None):
     """Full fixed-capacity pyramid build on device.
 
     Mirrors host ``build_pyramid`` + ``pad_registration_batch``
@@ -196,6 +232,11 @@ def build_pyramid_device(points, lengths, feats, transform, num_stages,
         transform: (4, 4) float32.
         num_stages / voxel_size / radius / neighbor_limits / stage_caps:
             static pyramid spec (tuples for the last two).
+        inverse_limits / sub_inverse_limits: optional static per-stage /
+            per-link in-degree capacities — emits the neighbors_inv /
+            subsampling_inv tables for the scatter-free training backward
+            (matching ``pad_registration_batch``); their overflows join the
+            returned overflow vector.
 
     Returns:
         (batch, overflow): `batch` matches ``pad_registration_batch`` output
@@ -249,6 +290,25 @@ def build_pyramid_device(points, lengths, feats, transform, num_stages,
                 stage_pts[i], stage_lens[i], stage_pts[i + 1], stage_lens[i + 1],
                 cap, cap_sub, r * 2.0, int(neighbor_limits[i + 1])))
         r *= 2.0
+
+    if inverse_limits is not None:
+        if sub_inverse_limits is None:
+            sub_inverse_limits = tuple(
+                max(16, int(l) // 4 + 8) for l in inverse_limits[:-1])
+        out["neighbors_inv"] = []
+        out["subsampling_inv"] = []
+        for i in range(num_stages):
+            rows = out["neighbors"][i].shape[0]
+            inv, ov = build_inverse_table_device(
+                out["neighbors"][i], rows, int(inverse_limits[i]))
+            out["neighbors_inv"].append(_pad_cols(inv, jnp.int32(rows)))
+            overflow[i] = overflow[i] | ov
+            if i < num_stages - 1:
+                inv, ov = build_inverse_table_device(
+                    out["subsampling"][i], rows, int(sub_inverse_limits[i]))
+                out["subsampling_inv"].append(_pad_cols(
+                    inv, jnp.int32(out["subsampling"][i].shape[0])))
+                overflow[i] = overflow[i] | ov
 
     out["features"] = jnp.where(
         valid0.reshape(2 * cap0)[:, None], feats.astype(jnp.float32), 0.0)

@@ -146,3 +146,63 @@ class TestDevicePyramid:
             jnp.eye(4), num_stages=3, voxel_size=0.25, radius=0.625,
             neighbor_limits=(16, 16, 16), stage_caps=(768, 8, 8))
         assert bool(np.asarray(overflow)[1])
+
+
+class TestDeviceInverseTables:
+    def test_matches_host(self, rng):
+        from geotransformer_tpu.preprocess.device import build_inverse_table_device
+        from geotransformer_tpu.preprocess.pyramid import build_inverse_table
+
+        m, h, n, j = 200, 12, 150, 32
+        table = np.stack([
+            np.random.default_rng(r).choice(n + 1, h, replace=False)
+            for r in range(m)
+        ]).astype(np.int32)
+        want = build_inverse_table(table, n, j)
+        got, ov = build_inverse_table_device(jnp.asarray(table), n, j)
+        assert not bool(ov)
+        np.testing.assert_array_equal(np.asarray(got), want)
+
+    def test_overflow(self, rng):
+        from geotransformer_tpu.preprocess.device import build_inverse_table_device
+        table = np.zeros((40, 4), np.int32)  # everyone lists support 0
+        _, ov = build_inverse_table_device(jnp.asarray(table), 8, 16)
+        assert bool(ov)
+
+    def test_pyramid_emits_inverse_tables(self, rng):
+        from geotransformer_tpu.preprocess.device import (
+            build_pyramid_device, pad_stage0,
+        )
+        from geotransformer_tpu.preprocess import (
+            build_pyramid, pad_registration_batch,
+        )
+
+        pts = rng.uniform(0, 1.5, (1300, 3)).astype(np.float32)
+        lengths = np.asarray([700, 600])
+        caps = (768, 256, 64)
+        limits = (16, 16, 16)
+        inv_limits = (48, 48, 48)
+        pyr = build_pyramid(pts, lengths, 3, 0.25, 0.625, list(limits))
+        feats = np.ones((pts.shape[0], 1), np.float32)
+        want = pad_registration_batch(
+            pyr, feats, np.eye(4, dtype=np.float32), caps,
+            inverse_limits=inv_limits)
+        pts0, lens0, feats0 = pad_stage0(pts, lengths, caps[0])
+        got, overflow = build_pyramid_device(
+            jnp.asarray(pts0), jnp.asarray(lens0), jnp.asarray(feats0),
+            jnp.eye(4), num_stages=3, voxel_size=0.25, radius=0.625,
+            neighbor_limits=limits, stage_caps=caps,
+            inverse_limits=inv_limits)
+        assert not np.any(np.asarray(overflow))
+        for i in range(3):
+            a = np.asarray(got["neighbors_inv"][i])
+            b = want["neighbors_inv"][i]
+            assert a.shape == b.shape
+            # inverse of identical forward tables is identical; forward
+            # tables may differ on distance-tie rows, so compare where the
+            # forward tables agree
+            fwd_same = np.all(
+                np.asarray(got["neighbors"][i]) == want["neighbors"][i])
+            if fwd_same:
+                np.testing.assert_array_equal(a, b)
+        assert len(got["subsampling_inv"]) == 2
