@@ -141,18 +141,24 @@ def _gse_full_kernel(pn_ref, pm_ref, uk_ref, div_ref, wds_ref, wdc_ref,
     )
 
     def embed(idx):
-        om = idx[:, None, :] * div[0][None, :, None]  # (TN, F, TM)
+        # (TN, TM, F): F on lanes, so each projection is ONE clean
+        # (TN*TM, F) @ (F, C) matmul after a (free) leading-dim merge —
+        # the previous (TN, F, TM) layout made Mosaic lower the middle-dim
+        # contraction as TN batched (TM, F) matmuls (~2.5x slower GSE).
+        om = idx[:, :, None] * div[0][None, None, :]
         s, c = _fast_sincos(om)
         return s.astype(BASIS_DTYPE), c.astype(BASIS_DTYPE)
 
     def proj(sin_b, cos_b, ws, wc):
-        return jax.lax.dot_general(
-            sin_b, ws, (((1,), (0,)), ((), ())),
+        f = sin_b.shape[-1]
+        out = jax.lax.dot_general(
+            sin_b.reshape(tn * tm, f), ws, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + jax.lax.dot_general(
-            cos_b, wc, (((1,), (0,)), ((), ())),
+            cos_b.reshape(tn * tm, f), wc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        return out.reshape(tn, tm, c_out)
 
     sin_d, cos_d = embed(d_idx)
     acc = proj(sin_d, cos_d, wds_ref[...], wdc_ref[...])
@@ -258,27 +264,34 @@ def _gse_full_bwd_kernel(pn_ref, pm_ref, uk_ref, de_ref, div_ref, was_ref,
         pn_ref[...], pm_ref[...], uk_ref[...], angle_k, inv_sigma_d, factor_a
     )
 
+    tn_b = de.shape[0]
+    tm_b = de.shape[1]
+
     def embed(idx):
-        om = idx[:, None, :] * div[0][None, :, None]
+        # (TN, TM, F) — see _gse_full_kernel: one clean matmul per proj.
+        om = idx[:, :, None] * div[0][None, None, :]
         s, c = _fast_sincos(om)
         return s.astype(BASIS_DTYPE), c.astype(BASIS_DTYPE)
 
     def proj(sin_b, cos_b, ws, wc):
-        return jax.lax.dot_general(
-            sin_b, ws, (((1,), (0,)), ((), ())),
+        f = sin_b.shape[-1]
+        out = jax.lax.dot_general(
+            sin_b.reshape(tn_b * tm_b, f), ws, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         ) + jax.lax.dot_general(
-            cos_b, wc, (((1,), (0,)), ((), ())),
+            cos_b.reshape(tn_b * tm_b, f), wc, (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        return out.reshape(tn_b, tm_b, -1)
 
     def wgrad(basis, cot):
-        per_n = jax.lax.dot_general(
-            basis, cot.astype(BASIS_DTYPE),
-            (((2,), (1,)), ((0,), (0,))),
+        f = basis.shape[-1]
+        return jax.lax.dot_general(
+            basis.reshape(tn_b * tm_b, f),
+            cot.reshape(tn_b * tm_b, -1).astype(BASIS_DTYPE),
+            (((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )
-        return jnp.sum(per_n, axis=0)
+        )  # (F, C)
 
     sin_d, cos_d = embed(d_idx)
     dwds = wgrad(sin_d, de)

@@ -206,3 +206,45 @@ class TestDeviceInverseTables:
             if fwd_same:
                 np.testing.assert_array_equal(a, b)
         assert len(got["subsampling_inv"]) == 2
+
+
+class TestDeviceBatchTraining:
+    def test_train_step_consumes_device_batch(self, rng):
+        """End-to-end: pyramid + inverse tables built ON DEVICE feed a full
+        training step — zero host preprocessing for training batches."""
+        import dataclasses
+        import jax
+        from test_parallel import tiny_config
+        from geotransformer_tpu.models import create_model
+        from geotransformer_tpu.parallel.train import (
+            init_train_state, make_optimizer, make_train_step,
+        )
+        from geotransformer_tpu.preprocess.device import (
+            build_pyramid_device, pad_stage0,
+        )
+
+        cfg = tiny_config()
+        xy = rng.uniform(0, 1, (500, 2)).astype(np.float32)
+        z = 0.2 * np.sin(4 * xy[:, 0])
+        ref = np.column_stack([xy, z]).astype(np.float32)
+        src = ref[ref[:, 0] < 0.8]
+        pts = np.concatenate([ref, src], 0)
+        lengths = np.asarray([len(ref), len(src)])
+        pts0, lens0, feats0 = pad_stage0(pts, lengths, cfg.caps.stage_caps[0])
+        batch, overflow = build_pyramid_device(
+            jnp.asarray(pts0), jnp.asarray(lens0), jnp.asarray(feats0),
+            jnp.eye(4), num_stages=cfg.backbone.num_stages,
+            voxel_size=cfg.backbone.init_voxel_size,
+            radius=cfg.backbone.init_radius,
+            neighbor_limits=tuple(cfg.caps.neighbor_limits),
+            stage_caps=tuple(cfg.caps.stage_caps),
+            inverse_limits=tuple(cfg.caps.inverse_limits))
+        assert not np.any(np.asarray(overflow))
+        model = create_model(cfg)
+        tx = make_optimizer(cfg, steps_per_epoch=10, world_size=1)
+        state = init_train_state(model, cfg, jax.random.PRNGKey(0), batch, tx)
+        step = make_train_step(model, cfg, tx, mesh=None)
+        b = jax.tree.map(lambda x: x[None], batch)
+        state, aux = step(state, b, jax.random.PRNGKey(0))
+        assert np.isfinite(float(aux["loss"]))
+        assert float(aux["grad_finite"]) == 1.0
