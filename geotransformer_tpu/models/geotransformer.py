@@ -103,6 +103,9 @@ class GeoTransformer(nn.Module):
         ref_node_knn_points = gather_with_shadow(ref_points_f, ref_node_knn_indices, 0.0)
         src_node_knn_points = gather_with_shadow(src_points_f, src_node_knn_indices, 0.0)
 
+        on_tpu_pre = jax.devices()[0].platform == "tpu"
+        if cfg.model.force_pallas is not None:
+            on_tpu_pre = cfg.model.force_pallas
         if with_gt:
             gt_cand_indices, gt_cand_overlaps, gt_cand_masks = get_node_correspondences(
                 ref_points_c, src_points_c,
@@ -112,6 +115,7 @@ class GeoTransformer(nn.Module):
                 ref_knn_masks=ref_node_knn_masks, src_knn_masks=src_node_knn_masks,
                 num_candidates=cfg.caps.gt_candidates,
                 chunk_size=cfg.caps.gt_chunk_size,
+                use_pallas=on_tpu_pre,
             )
             out["gt_cand_indices"] = gt_cand_indices
             out["gt_cand_overlaps"] = gt_cand_overlaps

@@ -116,6 +116,7 @@ def get_node_correspondences(
     src_knn_masks=None,
     num_candidates=64,
     chunk_size=32,
+    use_pallas=False,
 ):
     """Ground-truth patch overlaps with fixed-candidate static shapes.
 
@@ -129,6 +130,9 @@ def get_node_correspondences(
             prefilter turned into masked top-S nearest).
         chunk_size: ref nodes per lax.map chunk (bounds the (chunk, S, K, K)
             working set).
+        use_pallas: VMEM-resident overlap kernel (kernels/overlap.py) —
+            forward-only, which is exact here: overlaps are training
+            targets the reference computes under no_grad.
 
     Returns:
         cand_indices: (M, S) src node index per candidate.
@@ -167,6 +171,19 @@ def get_node_correspondences(
     sel_key = jnp.where(intersect, -node_dist, -jnp.inf)
     top_vals, cand_indices = jax.lax.top_k(sel_key, num_candidates)  # (M, S)
     cand_masks = top_vals > -jnp.inf
+
+    if use_pallas:
+        from geotransformer_tpu.kernels.overlap import patch_overlaps
+
+        overlaps = patch_overlaps(
+            jax.lax.stop_gradient(ref_knn_points), ref_knn_masks,
+            jax.lax.stop_gradient(src_knn_points[cand_indices]),
+            src_knn_masks[cand_indices], pos_radius,
+        )
+        overlaps = jnp.where(cand_masks, overlaps, 0.0)
+        cand_masks = jnp.logical_and(cand_masks, overlaps > 0.0)
+        overlaps = jnp.where(cand_masks, overlaps, 0.0)
+        return cand_indices, overlaps, cand_masks
 
     # Chunked overlap computation over ref nodes.
     num_chunks = -(-m // chunk_size)

@@ -43,3 +43,42 @@ class TestSinkhornKernel:
         # converged transport plan: regular rows sum to their marginal (1.0)
         plan = np.exp(got)
         np.testing.assert_allclose(plan[:, :8, :].sum(axis=2), 1.0, atol=1e-3)
+
+
+class TestOverlapKernel:
+    """VMEM overlap kernel vs the chunked XLA path of
+    get_node_correspondences."""
+
+    def test_matches_xla_path(self, rng):
+        import jax
+        import jax.numpy as jnp
+        from geotransformer_tpu.models.matching import get_node_correspondences
+
+        m, n, k = 40, 36, 16
+        ref_nodes = rng.uniform(0, 1, (m, 3)).astype(np.float32)
+        src_nodes = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        ref_knn = ref_nodes[:, None, :] + 0.08 * rng.normal(size=(m, k, 3)).astype(np.float32)
+        src_knn = src_nodes[:, None, :] + 0.08 * rng.normal(size=(n, k, 3)).astype(np.float32)
+        ref_masks = jnp.asarray(rng.uniform(size=(m,)) > 0.1)
+        src_masks = jnp.asarray(rng.uniform(size=(n,)) > 0.1)
+        ref_knn_masks = jnp.asarray(rng.uniform(size=(m, k)) > 0.2)
+        src_knn_masks = jnp.asarray(rng.uniform(size=(n, k)) > 0.2)
+        transform = jnp.eye(4)
+
+        args = dict(
+            ref_masks=ref_masks, src_masks=src_masks,
+            ref_knn_masks=ref_knn_masks, src_knn_masks=src_knn_masks,
+            num_candidates=8, chunk_size=8,
+        )
+        want = get_node_correspondences(
+            jnp.asarray(ref_nodes), jnp.asarray(src_nodes),
+            jnp.asarray(ref_knn), jnp.asarray(src_knn), transform, 0.1,
+            use_pallas=False, **args)
+        got = get_node_correspondences(
+            jnp.asarray(ref_nodes), jnp.asarray(src_nodes),
+            jnp.asarray(ref_knn), jnp.asarray(src_knn), transform, 0.1,
+            use_pallas=True, **args)
+        np.testing.assert_array_equal(np.asarray(got[0]), np.asarray(want[0]))
+        np.testing.assert_allclose(
+            np.asarray(got[1]), np.asarray(want[1]), rtol=1e-5, atol=1e-6)
+        np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(want[2]))
