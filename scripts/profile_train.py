@@ -40,24 +40,26 @@ with jax.profiler.trace(trace_dir):
         s2, aux = step(s2, b1, rng)
     float(aux["loss"])
 
-# parse
+# parse (events appear once per step; divide totals by the 3 steps)
 files = glob.glob(trace_dir + "/**/*.trace.json.gz", recursive=True)
-ev = []
+from collections import defaultdict
+agg = defaultdict(lambda: [0.0, 0, ""])
 for f in files:
     with gzip.open(f, "rt") as fh:
         data = json.load(fh)
-    pids = {p["pid"]: p.get("args", {}).get("name", str(p.get("pid"))) 
-            for p in [e for e in data["traceEvents"] if e.get("ph") == "M" and e.get("name") == "process_name"]}
-    tpu_pids = {pid for pid, name in pids.items() if "TPU" in str(name) or "tpu" in str(name)}
+    pids = {}
+    for e in data["traceEvents"]:
+        if e.get("ph") == "M" and e.get("name") == "process_name":
+            pids[e["pid"]] = e.get("args", {}).get("name", "")
+    tpu_pids = {p for p, n in pids.items() if "TPU" in str(n)}
     for e in data["traceEvents"]:
         if e.get("ph") == "X" and e.get("pid") in tpu_pids and "dur" in e:
-            ev.append(e)
-from collections import defaultdict
-by_name = defaultdict(float)
-total = 0.0
-for e in ev:
-    # keep only leaf-ish op events (XLA ops have 'args' with long names)
-    nm = e.get("name", "?")
-    by_name[nm] += e["dur"]
-for nm, d in sorted(by_name.items(), key=lambda kv: -kv[1])[:35]:
-    print(f"{d/3/1000.0:9.3f} ms  {nm[:110]}")
+            a = agg[e.get("name", "?")]
+            a[0] += e["dur"]
+            a[1] += 1
+            ln = e.get("args", {}).get("long_name", "")
+            if ln:
+                a[2] = ln
+print("per-step op times (3-step trace):")
+for nm, (d, c, ln) in sorted(agg.items(), key=lambda kv: -kv[1][0])[:30]:
+    print(f"{d / 3 / 1000.0:9.3f} ms x{c:3d}  {nm[:36]:36s} {ln[:140]}")
