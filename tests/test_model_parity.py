@@ -260,3 +260,134 @@ class TestNodeCorrespondences:
         assert set(got) == set(want)
         for key in want:
             assert abs(got[key] - want[key]) < 1e-5
+
+
+class TestCorrespondenceUtils:
+    """Fixed-capacity correspondence utils vs the torch reference
+    (modules/registration/matching.py:12-430). The reference returns
+    variable-length nonzero sets; parity = set equality of the valid
+    entries."""
+
+    def _sets(self, r, s, m=None):
+        r = np.asarray(r)
+        s = np.asarray(s)
+        if m is not None:
+            m = np.asarray(m)
+            r, s = r[m], s[m]
+        return set(zip(r.tolist(), s.tolist()))
+
+    def test_extract_from_scores(self, refmodules, rng):
+        import torch
+        from geotransformer.modules.registration.matching import (
+            extract_correspondences_from_scores as ref_fn,
+        )
+        from geotransformer_tpu.models.corr_utils import (
+            extract_correspondences_from_scores,
+        )
+
+        scores = rng.normal(size=(12, 10)).astype(np.float32)
+        for mutual, bilateral, dustbin in (
+            (False, False, False), (True, False, False),
+            (False, True, False), (True, False, True),
+        ):
+            want = ref_fn(
+                torch.from_numpy(scores), mutual=mutual, bilateral=bilateral,
+                has_dustbin=dustbin, threshold=0.05)
+            got = extract_correspondences_from_scores(
+                jnp.asarray(scores), capacity=64, mutual=mutual,
+                bilateral=bilateral, has_dustbin=dustbin, threshold=0.05)
+            assert self._sets(got[0], got[1], got[3]) == self._sets(*want)
+
+    def test_extract_threshold_and_topk(self, refmodules, rng):
+        import torch
+        from geotransformer.modules.registration.matching import (
+            extract_correspondences_from_scores_threshold as ref_thr,
+            extract_correspondences_from_scores_topk as ref_topk,
+        )
+        from geotransformer_tpu.models.corr_utils import (
+            extract_correspondences_from_scores_threshold,
+            extract_correspondences_from_scores_topk,
+        )
+
+        scores = rng.normal(size=(9, 11)).astype(np.float32)
+        want = ref_thr(torch.from_numpy(scores), threshold=0.6)
+        got = extract_correspondences_from_scores_threshold(
+            jnp.asarray(scores), 0.6, capacity=99)
+        assert self._sets(got[0], got[1], got[3]) == self._sets(*want)
+
+        want = ref_topk(torch.from_numpy(scores), k=7, has_dustbin=True)
+        got = extract_correspondences_from_scores_topk(
+            jnp.asarray(scores), 7, has_dustbin=True)
+        assert self._sets(got[0], got[1], got[3]) == self._sets(*want)
+
+    def test_extract_from_feats(self, refmodules, rng):
+        import torch
+        from geotransformer.modules.registration.matching import (
+            extract_correspondences_from_feats as ref_fn,
+        )
+        from geotransformer_tpu.models.corr_utils import (
+            extract_correspondences_from_feats,
+        )
+
+        rf = rng.normal(size=(14, 8)).astype(np.float32)
+        sf = rng.normal(size=(11, 8)).astype(np.float32)
+        want = ref_fn(torch.from_numpy(rf), torch.from_numpy(sf), mutual=True)
+        got = extract_correspondences_from_feats(
+            jnp.asarray(rf), jnp.asarray(sf), capacity=32, mutual=True)
+        assert self._sets(got[0], got[1], got[3]) == self._sets(*want)
+
+    def test_dense_node_roundtrip(self, refmodules, rng):
+        import torch
+        from geotransformer.modules.registration.matching import (
+            dense_correspondences_to_node_correspondences as ref_d2n,
+            node_correspondences_to_dense_correspondences as ref_n2d,
+        )
+        from geotransformer_tpu.models.corr_utils import (
+            dense_correspondences_to_node_correspondences,
+            node_correspondences_to_dense_correspondences,
+        )
+
+        n_pts, m_pts, n_nodes, m_nodes, k = 60, 50, 6, 5, 8
+        ref_points = rng.uniform(0, 1, (n_pts, 3)).astype(np.float32)
+        src_points = rng.uniform(0, 1, (m_pts, 3)).astype(np.float32)
+        ref_nodes = rng.uniform(0, 1, (n_nodes, 3)).astype(np.float32)
+        src_nodes = rng.uniform(0, 1, (m_nodes, 3)).astype(np.float32)
+        corr = np.stack([
+            rng.integers(0, n_pts, 20), rng.integers(0, m_pts, 20)
+        ], axis=1).astype(np.int64)
+        corr = np.unique(corr, axis=0)
+
+        want = ref_d2n(
+            torch.from_numpy(ref_points), torch.from_numpy(src_points),
+            torch.from_numpy(ref_nodes), torch.from_numpy(src_nodes),
+            torch.from_numpy(corr), return_score=True)
+        got = dense_correspondences_to_node_correspondences(
+            jnp.asarray(ref_points), jnp.asarray(src_points),
+            jnp.asarray(ref_nodes), jnp.asarray(src_nodes),
+            jnp.asarray(corr), jnp.ones((corr.shape[0],), bool), capacity=64)
+        want_pairs = set(map(tuple, want[0].numpy().tolist()))
+        got_pairs = set(map(
+            tuple, np.asarray(got[0])[np.asarray(got[3])].tolist()))
+        assert got_pairs == want_pairs
+
+        node_corr = want[0].numpy().astype(np.int32)
+        ref_knn_idx = rng.integers(0, n_pts, (n_nodes, k)).astype(np.int32)
+        src_knn_idx = rng.integers(0, m_pts, (m_nodes, k)).astype(np.int32)
+        ref_knn = ref_points[ref_knn_idx]
+        src_knn = src_points[src_knn_idx]
+        t = np.eye(4, dtype=np.float32)
+        want2 = ref_n2d(
+            torch.from_numpy(ref_knn), torch.from_numpy(src_knn),
+            torch.from_numpy(ref_knn_idx.astype(np.int64)),
+            torch.from_numpy(src_knn_idx.astype(np.int64)),
+            torch.from_numpy(node_corr.astype(np.int64)),
+            torch.from_numpy(t), 0.12)
+        got2 = node_correspondences_to_dense_correspondences(
+            jnp.asarray(ref_knn), jnp.asarray(src_knn),
+            jnp.asarray(ref_knn_idx), jnp.asarray(src_knn_idx),
+            jnp.asarray(node_corr), jnp.asarray(t), 0.12,
+            capacity=node_corr.shape[0] * k * k)
+        want_set = set(map(tuple, want2.numpy().tolist()))
+        got_set = set(map(
+            tuple, np.asarray(got2[0])[np.asarray(got2[2])].tolist()))
+        assert got_set == want_set
