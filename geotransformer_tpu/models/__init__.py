@@ -38,3 +38,13 @@ from geotransformer_tpu.models.lgr import (
     compute_correspondence_matrix,
     procrustes_from_pair_weights,
 )
+from geotransformer_tpu.models.corr_utils import (
+    extract_correspondences_from_scores,
+    extract_correspondences_from_scores_threshold,
+    extract_correspondences_from_scores_topk,
+    extract_correspondences_from_feats,
+    dense_correspondences_to_node_correspondences,
+    node_correspondences_to_dense_correspondences,
+    get_node_overlap_ratios,
+    get_node_occlusion_ratios,
+)
