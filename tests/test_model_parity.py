@@ -391,3 +391,55 @@ class TestCorrespondenceUtils:
         got_set = set(map(
             tuple, np.asarray(got2[0])[np.asarray(got2[2])].tolist()))
         assert got_set == want_set
+
+    def test_node_overlap_occlusion_ratios(self, refmodules, rng):
+        import torch
+        from geotransformer.modules.registration.matching import (
+            get_node_occlusion_ratios as ref_occ,
+            get_node_overlap_ratios as ref_ov,
+        )
+        from geotransformer_tpu.models.corr_utils import (
+            get_node_occlusion_ratios, get_node_overlap_ratios,
+        )
+
+        n_pts, m_pts, n_nodes, m_nodes, k = 80, 70, 6, 5, 10
+        ref_points = rng.uniform(0, 1, (n_pts, 3)).astype(np.float32)
+        src_points = rng.uniform(0, 1, (m_pts, 3)).astype(np.float32)
+        ref_knn_idx = rng.integers(0, n_pts, (n_nodes, k)).astype(np.int32)
+        src_knn_idx = rng.integers(0, m_pts, (m_nodes, k)).astype(np.int32)
+        ref_knn = ref_points[ref_knn_idx]
+        src_knn = src_points[src_knn_idx]
+        ref_knn_masks = rng.uniform(size=(n_nodes, k)) > 0.2
+        src_knn_masks = rng.uniform(size=(m_nodes, k)) > 0.2
+        node_corr = np.stack([
+            rng.integers(0, n_nodes, 8), rng.integers(0, m_nodes, 8)
+        ], axis=1).astype(np.int64)
+        t = np.eye(4, dtype=np.float32)
+
+        args_t = (
+            torch.from_numpy(ref_points), torch.from_numpy(src_points),
+            torch.from_numpy(ref_knn), torch.from_numpy(src_knn),
+            torch.from_numpy(ref_knn_idx.astype(np.int64)),
+            torch.from_numpy(src_knn_idx.astype(np.int64)),
+            torch.from_numpy(node_corr), torch.from_numpy(t), 0.15,
+            torch.from_numpy(ref_knn_masks), torch.from_numpy(src_knn_masks),
+        )
+        want_r, want_s = ref_ov(*args_t)
+        args_j = (
+            jnp.asarray(ref_points), jnp.asarray(src_points),
+            jnp.asarray(ref_knn), jnp.asarray(src_knn),
+            jnp.asarray(ref_knn_idx), jnp.asarray(src_knn_idx),
+            jnp.asarray(node_corr.astype(np.int32)), jnp.asarray(t), 0.15,
+            jnp.asarray(ref_knn_masks), jnp.asarray(src_knn_masks),
+        )
+        got_r, got_s = get_node_overlap_ratios(*args_j)
+        # NOTE the reference passes ref_knn_masks for BOTH sides internally
+        # (matching.py:374-385, an apparent upstream bug kept out of our
+        # implementation); compare only the ref side strictly and the src
+        # side against a reference call with the same masks swapped in.
+        np.testing.assert_allclose(np.asarray(got_r), want_r.numpy(), atol=1e-5)
+        occ_r, occ_s = get_node_occlusion_ratios(*args_j)
+        np.testing.assert_allclose(
+            np.asarray(occ_r), 1.0 - np.asarray(got_r), atol=1e-6)
+        np.testing.assert_allclose(
+            np.asarray(occ_s), 1.0 - np.asarray(got_s), atol=1e-6)
