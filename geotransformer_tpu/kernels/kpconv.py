@@ -766,3 +766,240 @@ def _kpconv_input_bwd(sigma, tile_m, res, dout):
 
 
 kpconv_input_fused_diff.defvjp(_kpconv_input_fwd, _kpconv_input_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Union-gather input-layer convolution.
+#
+# The stage-0 gathers sit on XLA's ~1.9 ns/row gather-engine floor: one row
+# per EDGE (M * H ~ 1.4M rows on the demo pair). For the input-layer conv
+# (c_in == 1, scalar features) no feature selection is needed, so the
+# gather can fetch each query TILE's neighbor UNION instead (~3.3x fewer
+# rows on scan-ordered clouds; preprocess.pyramid.build_union_tables) and
+# the kernel evaluates influence against ALL union candidates, weighting
+# each by its membership count B[t, u] = #slots of query t that reference
+# candidate u (0 or 1 — neighbor lists are distinct). Geometry runs as
+# HIGHEST-precision dots on absolute coordinates (exact-class; the
+# offsets-first trick does not apply, q is subtracted inside the dot).
+#
+# MEASURED AND REJECTED as the default (demo pair: 44.3 -> 40.7 pairs/s):
+# the union shrinks gather rows 3.3x (2.55 -> 0.8 ms) but the all-pairs
+# influence evaluates U=1536 candidates per query vs H=40 edges — 38x the
+# VPU geometry — which costs more than the gather saves. It would win only
+# where unions are far denser (tiny radii / very redundant neighborhoods).
+# Kept as a tested variant (enable via pad_registration_batch(union_cap=..)).
+# ---------------------------------------------------------------------------
+
+_UF = 16  # union-gather lanes: [s(3), |s|^2(1), pad(4), feat(1), pad(7)]
+
+
+def _kpconv_union_input_kernel(ug_ref, q_ref, sel_ref, kp_ref, w_ref,
+                               out_ref, *extras, num_kernel_points, sigma,
+                               u_chunk, union_cap, has_count, has_t1):
+    k = num_kernel_points
+    extras = list(extras)
+    count_ref = extras.pop(0) if has_count else None
+    t1_ref = extras.pop(0) if has_t1 else None
+
+    ug = ug_ref[...].reshape(union_cap, _UF)  # (U, 16)
+    q = q_ref[...]
+    sel = sel_ref[...]  # (T, H) int32, values in [0, U], U = no edge
+    kp = kp_ref[...]
+    tile, h = sel.shape
+    qp = q[:, :3]
+    q_sq = q[:, 3]
+
+    hi = jax.lax.Precision.HIGHEST
+    # extended operands fold |s|^2 and the feature into dots, so no
+    # sublane->lane transposes are needed:
+    #   ext_q  = [-2*q, 1]            (T, 4)
+    #   ext_s  = [s, |s|^2]           (U, 4)
+    #   dot -> -2 q.s + |s|^2         (T, U)  (+ q_sq -> |s - q|^2)
+    ext_q = jnp.concatenate([-2.0 * qp, jnp.ones((tile, 1), qp.dtype)], axis=1)
+    q_kp = jax.lax.dot_general(
+        qp, kp[:, :3], (((1,), (1,)), ((), ())), precision=hi,
+        preferred_element_type=jnp.float32,
+    )  # (T, K)
+    kc = 2.0 * q_kp + kp[:, 3][None, :]  # (T, K)
+
+    t1 = jnp.zeros((tile, k), jnp.float32)
+    count = jnp.zeros((tile,), jnp.float32)
+    num_chunks = union_cap // u_chunk
+    for c in range(num_chunks):
+        lo = c * u_chunk
+        sc = ug[lo : lo + u_chunk]  # (Uc, 16)
+        ext_s = sc[:, :4]  # [s, |s|^2]
+        d2q = jax.lax.dot_general(
+            ext_q, ext_s, (((1,), (1,)), ((), ())), precision=hi,
+            preferred_element_type=jnp.float32,
+        ) + q_sq[:, None]  # (T, Uc)
+        s_kp = jax.lax.dot_general(
+            kp[:, :3], sc[:, :3], (((1,), (1,)), ((), ())), precision=hi,
+            preferred_element_type=jnp.float32,
+        )  # (K, Uc)
+        sq = (
+            d2q[:, None, :]
+            - 2.0 * s_kp[None, :, :]
+            + kc[:, :, None]
+        )  # (T, K, Uc)
+        infl = jnp.maximum(
+            1.0 - jnp.sqrt(jnp.maximum(sq, 1e-20)) / sigma, 0.0)
+        # feature lane -> (1, Uc) via a selector dot (no transpose op)
+        f_lane = jax.lax.dot_general(
+            jnp.ones((1, 1), jnp.float32), sc[:, _UF - 8 : _UF - 7],
+            (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+        )  # (1, Uc)
+        # membership: B[t, u] = sum_h [sel[t, h] == lo + u]
+        iota_u = jax.lax.broadcasted_iota(
+            jnp.int32, (tile, u_chunk), 1) + lo
+        b = jnp.zeros((tile, u_chunk), jnp.float32)
+        for hh in range(h):
+            b = b + (sel[:, hh : hh + 1] == iota_u).astype(jnp.float32)
+        wf = b * f_lane  # (T, Uc)
+        t1 = t1 + jnp.sum(infl * wf[:, None, :], axis=2)
+        count = count + jnp.sum(b * (f_lane > 0.0).astype(jnp.float32), axis=1)
+
+    count = jnp.maximum(count, 1.0)
+    acc = jax.lax.dot_general(
+        t1.astype(MXU_DTYPE), w_ref[...][:, 0, :].astype(MXU_DTYPE),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    out_ref[...] = acc / count[:, None]
+    if count_ref is not None:
+        count_ref[...] = jnp.broadcast_to(count[:, None], count_ref.shape)
+    if t1_ref is not None:
+        t1_ref[...] = t1
+
+
+def kpconv_union_input_fused(
+    s_feats, q_points, s_points, union_rows, union_sel, kernel_points,
+    weights, sigma, bias=None, tile_m=128, u_chunk=512, interpret=None,
+    return_count=False, return_t1=False,
+):
+    """Union-gather input-layer KPConv forward (c_in == 1).
+
+    Args:
+        union_rows: (ceil(M/tile_m), U) int32 per-tile support unions,
+            sentinel N (build_union_tables with the SAME tile_m).
+        union_sel: (M, H) int32 union positions per edge, sentinel U.
+        (remaining args as kpconv_fused.)
+    """
+    m = q_points.shape[0]
+    k, c_in, c_out = weights.shape
+    assert c_in == 1
+    num_tiles, union_cap = union_rows.shape
+    assert num_tiles == -(-m // tile_m), "union tables built for another tile"
+    assert union_cap % u_chunk == 0
+
+    aug = jnp.concatenate([
+        s_points,
+        jnp.sum(s_points**2, axis=-1, keepdims=True),
+        jnp.zeros((s_points.shape[0], 4), s_points.dtype),
+        s_feats,
+        jnp.zeros((s_points.shape[0], _UF - 9), s_points.dtype),
+    ], axis=1)  # (N, 16)
+    ug = gather_with_shadow(aug, union_rows, 0.0)  # (T, U, 16)
+
+    q_aug = jnp.concatenate([
+        q_points, jnp.sum(q_points**2, axis=-1, keepdims=True),
+        jnp.zeros((m, _AUG - 4), q_points.dtype),
+    ], axis=1)
+    kp_aug = jnp.concatenate([
+        kernel_points, jnp.sum(kernel_points**2, -1, keepdims=True),
+        jnp.zeros((k, _AUG - 4), kernel_points.dtype),
+    ], axis=1)
+
+    pad_m = num_tiles * tile_m
+    sel = union_sel
+    if pad_m != m:
+        q_aug = jnp.pad(q_aug, ((0, pad_m - m), (0, 0)))
+        sel = jnp.pad(sel, ((0, pad_m - m), (0, 0)),
+                      constant_values=union_cap)
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    kernel = functools.partial(
+        _kpconv_union_input_kernel, num_kernel_points=k, sigma=float(sigma),
+        u_chunk=u_chunk, union_cap=union_cap,
+        has_count=return_count, has_t1=return_t1,
+    )
+    out_specs = [pl.BlockSpec((tile_m, c_out), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((pad_m, c_out), jnp.float32)]
+    if return_count:
+        out_specs.append(pl.BlockSpec((tile_m, 8), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((pad_m, 8), jnp.float32))
+    if return_t1:
+        out_specs.append(pl.BlockSpec((tile_m, k), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((pad_m, k), jnp.float32))
+    single = len(out_specs) == 1
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((1, union_cap, _UF), lambda i: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, _AUG), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile_m, sel.shape[1]), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, _AUG), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs[0] if single else tuple(out_specs),
+        out_shape=out_shape[0] if single else tuple(out_shape),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(ug, q_aug, sel, kp_aug, weights)
+    rest = list(out) if isinstance(out, (tuple, list)) else [out]
+    result = rest.pop(0)[:m]
+    if bias is not None:
+        result = result + bias
+    outs = (result,)
+    if return_count:
+        outs = outs + (rest.pop(0)[:m, 0],)
+    if return_t1:
+        outs = outs + (rest.pop(0)[:m],)
+    return outs if len(outs) > 1 else outs[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 9))
+def kpconv_union_input_fused_diff(s_feats, q_points, s_points, union_rows,
+                                  union_sel, kernel_points, weights, sigma,
+                                  bias, tile_m):
+    """Differentiable union-gather input-layer KPConv: same t1-residual
+    backward as :func:`kpconv_input_fused_diff` (zero feature gradients)."""
+    return kpconv_union_input_fused(
+        s_feats, q_points, s_points, union_rows, union_sel, kernel_points,
+        weights, sigma, bias=bias, tile_m=tile_m,
+    )
+
+
+def _kpconv_union_input_fwd(s_feats, q_points, s_points, union_rows,
+                            union_sel, kernel_points, weights, sigma, bias,
+                            tile_m):
+    out, counts, t1 = kpconv_union_input_fused(
+        s_feats, q_points, s_points, union_rows, union_sel, kernel_points,
+        weights, sigma, bias=bias, tile_m=tile_m,
+        return_count=True, return_t1=True,
+    )
+    return out, (t1, counts, s_feats.shape, bias is not None)
+
+
+def _kpconv_union_input_bwd(sigma, tile_m, res, dout):
+    t1, counts, sf_shape, has_bias = res
+    gdiv = dout / counts[:, None]
+    d_weights = jax.lax.dot_general(
+        t1, gdiv, (((0,), (0,)), ((), ())),
+    )[:, None, :]
+    d_bias = jnp.sum(dout, axis=0) if has_bias else None
+    return (jnp.zeros(sf_shape, dout.dtype), None, None, None, None, None,
+            d_weights, d_bias)
+
+
+kpconv_union_input_fused_diff.defvjp(
+    _kpconv_union_input_fwd, _kpconv_union_input_bwd)

@@ -75,11 +75,15 @@ class KPConvFPN(nn.Module):
             if i == 0:
                 # encoder1_1's input features are the network input — its
                 # d_s_feats is dead code, so no inverse table is passed.
+                union0 = None
+                if "union_rows0" in batch:
+                    union0 = (batch["union_rows0"], batch["union_sel0"])
                 x = ConvBlock(
                     self.input_dim, d, k, radius, sigma, self.group_norm,
                     use_pallas=self.use_pallas,
                     input_layer=self.input_dim == 1, name="encoder1_1",
-                )(x, points[0], points[0], neighbors[0], masks[0])
+                )(x, points[0], points[0], neighbors[0], masks[0],
+                  union_tables=union0)
                 x = ResidualBlock(
                     d, 2 * d, k, radius, sigma, self.group_norm,
                     use_pallas=self.use_pallas, name="encoder1_2",

@@ -46,7 +46,8 @@ class KPConv(nn.Module):
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices,
-                 pool_feats=None, pool_cols=None, inverse_table=None):
+                 pool_feats=None, pool_cols=None, inverse_table=None,
+                 union_tables=None):
         """KPConv forward.
 
         Args:
@@ -61,6 +62,10 @@ class KPConv(nn.Module):
             inverse_table: optional (N, J) int32 host-built inverse of the
                 neighbor table (sentinel M) — switches the pallas path to
                 the scatter-free backward (training batches).
+            union_tables: optional (union_rows, union_sel) pair from
+                build_union_tables — input-layer convs gather per-tile
+                neighbor UNIONS (~3x fewer gather rows) instead of
+                per-edge rows; requires input_layer and c_in == 1.
 
         Returns:
             (M, C_out) features, or (features, pooled) with pool_feats.
@@ -83,6 +88,7 @@ class KPConv(nn.Module):
                 kpconv_inv_fused_diff,
                 kpconv_pool_fused_diff,
                 kpconv_pool_inv_fused_diff,
+                kpconv_union_input_fused_diff,
             )
 
             bias = (
@@ -112,6 +118,13 @@ class KPConv(nn.Module):
                     s_feats, q_points, s_points, neighbor_indices,
                     inverse_table, kernel_points, weights, self.sigma, bias,
                     tile_m,
+                )
+            if (self.input_layer and self.in_channels == 1
+                    and union_tables is not None):
+                return kpconv_union_input_fused_diff(
+                    s_feats, q_points, s_points, union_tables[0],
+                    union_tables[1], kernel_points, weights, self.sigma,
+                    bias, tile_m,
                 )
             if self.input_layer and self.in_channels == 1:
                 return kpconv_input_fused_diff(
@@ -248,14 +261,14 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices,
-                 q_mask=None, inverse_table=None):
+                 q_mask=None, inverse_table=None, union_tables=None):
         x = KPConv(
             self.in_channels, self.out_channels, self.kernel_size,
             self.radius, self.sigma, use_bias=True,
             use_pallas=self.use_pallas, input_layer=self.input_layer,
             name="KPConv",
         )(s_feats, q_points, s_points, neighbor_indices,
-          inverse_table=inverse_table)
+          inverse_table=inverse_table, union_tables=union_tables)
         x = GroupNorm(self.group_norm, self.out_channels, name="norm")(x, q_mask)
         return leaky_relu(x)
 

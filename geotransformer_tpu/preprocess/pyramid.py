@@ -173,7 +173,8 @@ def build_inverse_table(table, num_support, j_cap):
 
 
 def pad_registration_batch(pyramid, feats, transform, stage_caps,
-                           inverse_limits=None, sub_inverse_limits=None):
+                           inverse_limits=None, sub_inverse_limits=None,
+                           union_cap=None, union_tile=128):
     """Convert an unpadded pyramid into a fixed-capacity PairBatch pytree.
 
     Args:
@@ -267,6 +268,12 @@ def pad_registration_batch(pyramid, feats, transform, stage_caps,
                         int(sub_inverse_limits[i])),
                     np.int32(rows_sub)))
 
+    if union_cap is not None:
+        # stage-0 per-tile neighbor unions for the union-gather input conv
+        rows0 = out["neighbors"][0].shape[0]
+        out["union_rows0"], out["union_sel0"] = build_union_tables(
+            out["neighbors"][0], rows0, tile=union_tile, union_cap=union_cap)
+
     out["features"] = _pad_rows(
         np.asarray(feats, dtype=np.float32), ref_lens[0], src_lens[0],
         _cloud_caps(stage_caps[0]), 0.0
@@ -315,3 +322,49 @@ def caps_for_pyramid(pyramid, multiple=128, margin=1.0, per_cloud=False):
             biggest = int(np.max(lengths)) * margin
             caps.append(max(round_up(biggest, multiple), multiple))
     return caps
+
+
+def build_union_tables(table, num_support, tile=128, union_cap=1536):
+    """Per-query-tile neighbor-union tables for the union-gather input-layer
+    KPConv (kernels/kpconv.kpconv_union_input_fused).
+
+    For each tile of `tile` query rows, collect the UNIQUE support indices
+    its neighbor lists reference (the union is ~3x smaller than the edge
+    count on scan-ordered clouds), so the device gathers one union block
+    per tile instead of one row per edge.
+
+    Args:
+        table: (M, H) padded neighbor table, sentinel >= num_support.
+        num_support: support row count (gather sentinel).
+        tile: static query rows per tile (must match the kernel tile).
+        union_cap: static per-tile union capacity U.
+
+    Returns:
+        union_rows: (ceil(M/tile), U) int32 support rows, sentinel
+            num_support.
+        sel: (M, H) int32 — position of each edge's support row within its
+            tile's union, sentinel union_cap for sentinel edges.
+    Raises if any tile's union exceeds `union_cap`.
+    """
+    table = np.asarray(table)
+    m, h = table.shape
+    num_tiles = -(-m // tile)
+    union_rows = np.full((num_tiles, union_cap), num_support, np.int32)
+    sel = np.full((m, h), union_cap, np.int32)
+    for t in range(num_tiles):
+        blk = table[t * tile : (t + 1) * tile]
+        vals = blk[blk < num_support]
+        uniq = np.unique(vals)
+        if uniq.size > union_cap:
+            raise ValueError(
+                f"tile {t}: neighbor union {uniq.size} exceeds capacity "
+                f"{union_cap}; raise the stage-0 union capacity"
+            )
+        union_rows[t, : uniq.size] = uniq
+        pos = np.searchsorted(uniq, blk)
+        pos = np.clip(pos, 0, max(uniq.size - 1, 0))
+        hit = np.logical_and(blk < num_support,
+                             uniq[pos] == blk if uniq.size else False)
+        sel[t * tile : t * tile + blk.shape[0]] = np.where(
+            hit, pos, union_cap)
+    return union_rows, sel

@@ -320,3 +320,83 @@ class TestInverseBackward:
         for a, b_ in zip(g_old, g_new):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(b_), rtol=3e-2, atol=3e-3)
+
+
+class TestUnionInputKernel:
+    """Union-gather input-layer conv vs the edge-gather kernel.
+
+    (A measured-and-rejected default — see kernels/kpconv.py — kept as a
+    tested variant for denser-union regimes.)"""
+
+    def test_matches_edge_kernel(self, rng):
+        from geotransformer_tpu.kernels.kpconv import (
+            kpconv_fused, kpconv_union_input_fused,
+        )
+        from geotransformer_tpu.preprocess.pyramid import build_union_tables
+
+        n, m, h, k, cout = 500, 300, 12, 15, 64
+        sp = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        qp = rng.uniform(0, 1, (m, 3)).astype(np.float32)
+        sf = np.abs(rng.normal(size=(n, 1))).astype(np.float32)
+        nb = np.stack([
+            np.random.default_rng(i).choice(n + 1, h, replace=False)
+            for i in range(m)
+        ]).astype(np.int32)
+        kp = rng.uniform(-0.05, 0.05, (k, 3)).astype(np.float32)
+        w = (rng.normal(size=(k, 1, cout)) * 0.1).astype(np.float32)
+        bias = rng.normal(size=(cout,)).astype(np.float32)
+        want = np.asarray(kpconv_fused(
+            jnp.asarray(sf), jnp.asarray(qp), jnp.asarray(sp),
+            jnp.asarray(nb), jnp.asarray(kp), jnp.asarray(w), 0.08,
+            bias=jnp.asarray(bias), tile_m=64))
+        u_rows, sel = build_union_tables(nb, n, tile=64, union_cap=512)
+        got, counts, t1 = kpconv_union_input_fused(
+            jnp.asarray(sf), jnp.asarray(qp), jnp.asarray(sp),
+            jnp.asarray(u_rows), jnp.asarray(sel), jnp.asarray(kp),
+            jnp.asarray(w), 0.08, bias=jnp.asarray(bias), tile_m=64,
+            u_chunk=128, return_count=True, return_t1=True)
+        rel = np.linalg.norm(np.asarray(got) - want) / np.linalg.norm(want)
+        assert rel < 2e-3, rel
+
+    def test_grads_match_input_path(self, rng):
+        from geotransformer_tpu.kernels.kpconv import (
+            kpconv_input_fused_diff, kpconv_union_input_fused_diff,
+        )
+        from geotransformer_tpu.preprocess.pyramid import build_union_tables
+
+        n, m, h, k, cout = 300, 200, 10, 15, 32
+        sp = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        qp = rng.uniform(0, 1, (m, 3)).astype(np.float32)
+        sf = np.abs(rng.normal(size=(n, 1))).astype(np.float32)
+        nb = np.stack([
+            np.random.default_rng(i).choice(n + 1, h, replace=False)
+            for i in range(m)
+        ]).astype(np.int32)
+        from geotransformer_tpu.models.kpconv import KPConv
+        conv = KPConv(1, cout, 15, 0.1, 0.08, use_bias=True)
+        variables = conv.init(
+            jax.random.PRNGKey(0), jnp.asarray(sf), jnp.asarray(qp),
+            jnp.asarray(sp), jnp.asarray(nb))
+        kp = variables["constants"]["kernel_points"]
+        w = variables["params"]["weights"]
+        b = variables["params"]["bias"]
+        u_rows, sel = build_union_tables(nb, n, tile=64, union_cap=512)
+
+        def loss_edge(w_, b_):
+            out = kpconv_input_fused_diff(
+                jnp.asarray(sf), jnp.asarray(qp), jnp.asarray(sp),
+                jnp.asarray(nb), kp, w_, 0.08, b_, 64)
+            return jnp.sum(jnp.sin(out))
+
+        def loss_union(w_, b_):
+            out = kpconv_union_input_fused_diff(
+                jnp.asarray(sf), jnp.asarray(qp), jnp.asarray(sp),
+                jnp.asarray(u_rows), jnp.asarray(sel), kp, w_, 0.08, b_, 64)
+            return jnp.sum(jnp.sin(out))
+
+        v1, g1 = jax.value_and_grad(loss_edge, argnums=(0, 1))(w, b)
+        v2, g2 = jax.value_and_grad(loss_union, argnums=(0, 1))(w, b)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+        for a, c in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=3e-2, atol=3e-3)
