@@ -236,3 +236,28 @@ class TestPartitionVariants:
             assert set(ours[m][np.asarray(masks)[m]].tolist()) == set(
                 theirs[m][r_masks[m].numpy()].tolist()
             )
+
+
+class TestVisualizationHelpers:
+    def test_tsne_colors_and_obj_export(self, tmp_path, rng):
+        from geotransformer_tpu.utils.visualization import (
+            get_colors_with_tsne, write_correspondences_to_obj,
+            write_points_to_obj,
+        )
+
+        colors = get_colors_with_tsne(rng.normal(size=(40, 16)))
+        assert colors.shape == (40, 3)
+        assert colors.min() >= 0.0 and colors.max() <= 1.0
+
+        p = tmp_path / "pts.obj"
+        write_points_to_obj(str(p), rng.uniform(0, 1, (3, 3)),
+                            colors=rng.uniform(0, 1, (3, 3)), resolution=3)
+        lines = p.read_text().splitlines()
+        assert any(l.startswith("v ") for l in lines)
+        assert any(l.startswith("f ") for l in lines)
+
+        c = tmp_path / "corr.obj"
+        write_correspondences_to_obj(
+            str(c), rng.uniform(0, 1, (4, 3)), rng.uniform(0, 1, (4, 3)))
+        lines = c.read_text().splitlines()
+        assert sum(l.startswith("l ") for l in lines) == 4
