@@ -25,16 +25,20 @@ def _free_port():
     return port
 
 
-@pytest.mark.timeout(1500)
 def test_two_process_trainer(tmp_path):
+    # NOTE: no @pytest.mark.timeout — pytest-timeout isn't installed in this
+    # image (the mark would be silently inert); the communicate(timeout=)
+    # below is the real hang guard.
     port = _free_port()
     worker = osp.join(osp.dirname(osp.abspath(__file__)), "multihost_worker.py")
     env = dict(os.environ)
     # the workers pick their own platform/device config before backend init
     env.pop("XLA_FLAGS", None)
+    cache_dir = str(tmp_path / "jax_cache")
     procs = [
         subprocess.Popen(
-            [sys.executable, worker, str(port), str(pid), str(tmp_path)],
+            [sys.executable, worker, str(port), str(pid), str(tmp_path),
+             cache_dir],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
             env=env,
         )
