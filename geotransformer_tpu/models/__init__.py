@@ -1,4 +1,8 @@
-from geotransformer_tpu.models.geotransformer import GeoTransformer, create_model
+from geotransformer_tpu.models.geotransformer import (
+    GeoTransformer,
+    create_model,
+    precompute_gt_targets,
+)
 from geotransformer_tpu.models.backbone import KPConvFPN
 from geotransformer_tpu.models.kpconv import (
     KPConv,

@@ -51,6 +51,79 @@ def _ref_capacity(cfg_stage_caps, batch, stage):
     return rows // 2
 
 
+def _partition_pair(cfg, batch):
+    """Point-to-node partition for both clouds (params-independent geometry;
+    reference `model.py:76-108` computes this under no_grad)."""
+    fine = cfg.model.fine_level
+    coarse = cfg.backbone.num_stages - 1
+    cap_f = _ref_capacity(cfg.caps.stage_caps, batch, fine)
+    cap_c = _ref_capacity(cfg.caps.stage_caps, batch, coarse)
+    ref_points_c, src_points_c = split_pair(batch["points"][coarse], cap_c)
+    ref_masks_c, src_masks_c = split_pair(batch["masks"][coarse], cap_c)
+    ref_points_f, src_points_f = split_pair(batch["points"][fine], cap_f)
+    ref_masks_f, src_masks_f = split_pair(batch["masks"][fine], cap_f)
+    out = {}
+    (_, out["ref_node_masks"], out["ref_node_knn_indices"],
+     out["ref_node_knn_masks"]) = point_to_node_partition(
+        ref_points_f, ref_points_c, cfg.model.num_points_in_patch,
+        point_masks=ref_masks_f, node_masks_in=ref_masks_c,
+    )
+    (_, out["src_node_masks"], out["src_node_knn_indices"],
+     out["src_node_knn_masks"]) = point_to_node_partition(
+        src_points_f, src_points_c, cfg.model.num_points_in_patch,
+        point_masks=src_masks_f, node_masks_in=src_masks_c,
+    )
+    return out
+
+
+_PARTITION_KEYS = (
+    "ref_node_masks", "ref_node_knn_indices", "ref_node_knn_masks",
+    "src_node_masks", "src_node_knn_indices", "src_node_knn_masks",
+)
+_GT_KEYS = ("gt_cand_indices", "gt_cand_overlaps", "gt_cand_masks")
+
+
+def precompute_gt_targets(cfg, batch, with_gt=True, use_pallas=False):
+    """Stage the params-independent geometry OUT of the differentiated step.
+
+    The reference computes the point-to-node partition and the GT node
+    overlaps in forward under ``no_grad`` (`model.py:76-108`,
+    `modules/registration/matching.py:231`); under ``jax.grad`` they would
+    instead execute inside every differentiated train step (~6 ms/step of
+    pure batch geometry). This produces them once per batch — host-side in
+    the loader workers next to the pyramid build, or on any device — as
+    extra batch keys that :class:`GeoTransformer` consumes directly.
+
+    Returns a dict of new batch entries (partition tables + GT overlap
+    candidates); merge into the batch with ``dict(batch, **targets)``.
+    """
+    fine = cfg.model.fine_level
+    cap_f = _ref_capacity(cfg.caps.stage_caps, batch, fine)
+    coarse = cfg.backbone.num_stages - 1
+    cap_c = _ref_capacity(cfg.caps.stage_caps, batch, coarse)
+    out = _partition_pair(cfg, batch)
+    if with_gt:
+        ref_points_c, src_points_c = split_pair(batch["points"][coarse], cap_c)
+        ref_points_f, src_points_f = split_pair(batch["points"][fine], cap_f)
+        ref_node_knn_points = gather_with_shadow(
+            ref_points_f, out["ref_node_knn_indices"], 0.0)
+        src_node_knn_points = gather_with_shadow(
+            src_points_f, out["src_node_knn_indices"], 0.0)
+        (out["gt_cand_indices"], out["gt_cand_overlaps"],
+         out["gt_cand_masks"]) = get_node_correspondences(
+            ref_points_c, src_points_c,
+            ref_node_knn_points, src_node_knn_points,
+            batch["transform"], cfg.model.ground_truth_matching_radius,
+            ref_masks=out["ref_node_masks"], src_masks=out["src_node_masks"],
+            ref_knn_masks=out["ref_node_knn_masks"],
+            src_knn_masks=out["src_node_knn_masks"],
+            num_candidates=cfg.caps.gt_candidates,
+            chunk_size=cfg.caps.gt_chunk_size,
+            use_pallas=use_pallas,
+        )
+    return out
+
+
 class GeoTransformer(nn.Module):
     cfg: GeoTransformerConfig
 
@@ -92,14 +165,19 @@ class GeoTransformer(nn.Module):
         out["src_masks_f"] = src_masks_f
 
         # 1. point-to-node partition (no gradients flow through geometry).
-        _, ref_node_masks, ref_node_knn_indices, ref_node_knn_masks = point_to_node_partition(
-            ref_points_f, ref_points_c, cfg.model.num_points_in_patch,
-            point_masks=ref_masks_f, node_masks_in=ref_masks_c,
-        )
-        _, src_node_masks, src_node_knn_indices, src_node_knn_masks = point_to_node_partition(
-            src_points_f, src_points_c, cfg.model.num_points_in_patch,
-            point_masks=src_masks_f, node_masks_in=src_masks_c,
-        )
+        # Batches carrying precomputed tables (precompute_gt_targets, staged
+        # host-side by the loader or by a separate device program) skip the
+        # in-step recompute entirely.
+        if "ref_node_knn_indices" in batch:
+            part = {k: batch[k] for k in _PARTITION_KEYS}
+        else:
+            part = _partition_pair(cfg, batch)
+        ref_node_masks = part["ref_node_masks"]
+        src_node_masks = part["src_node_masks"]
+        ref_node_knn_indices = part["ref_node_knn_indices"]
+        src_node_knn_indices = part["src_node_knn_indices"]
+        ref_node_knn_masks = part["ref_node_knn_masks"]
+        src_node_knn_masks = part["src_node_knn_masks"]
         ref_node_knn_points = gather_with_shadow(ref_points_f, ref_node_knn_indices, 0.0)
         src_node_knn_points = gather_with_shadow(src_points_f, src_node_knn_indices, 0.0)
 
@@ -107,16 +185,21 @@ class GeoTransformer(nn.Module):
         if cfg.model.force_pallas is not None:
             on_tpu_pre = cfg.model.force_pallas
         if with_gt:
-            gt_cand_indices, gt_cand_overlaps, gt_cand_masks = get_node_correspondences(
-                ref_points_c, src_points_c,
-                ref_node_knn_points, src_node_knn_points,
-                transform, cfg.model.ground_truth_matching_radius,
-                ref_masks=ref_node_masks, src_masks=src_node_masks,
-                ref_knn_masks=ref_node_knn_masks, src_knn_masks=src_node_knn_masks,
-                num_candidates=cfg.caps.gt_candidates,
-                chunk_size=cfg.caps.gt_chunk_size,
-                use_pallas=on_tpu_pre,
-            )
+            if "gt_cand_indices" in batch:
+                gt_cand_indices = batch["gt_cand_indices"]
+                gt_cand_overlaps = batch["gt_cand_overlaps"]
+                gt_cand_masks = batch["gt_cand_masks"]
+            else:
+                gt_cand_indices, gt_cand_overlaps, gt_cand_masks = get_node_correspondences(
+                    ref_points_c, src_points_c,
+                    ref_node_knn_points, src_node_knn_points,
+                    transform, cfg.model.ground_truth_matching_radius,
+                    ref_masks=ref_node_masks, src_masks=src_node_masks,
+                    ref_knn_masks=ref_node_knn_masks, src_knn_masks=src_node_knn_masks,
+                    num_candidates=cfg.caps.gt_candidates,
+                    chunk_size=cfg.caps.gt_chunk_size,
+                    use_pallas=on_tpu_pre,
+                )
             out["gt_cand_indices"] = gt_cand_indices
             out["gt_cand_overlaps"] = gt_cand_overlaps
             out["gt_cand_masks"] = gt_cand_masks
@@ -237,9 +320,13 @@ class GeoTransformer(nn.Module):
         matching_scores = jnp.einsum(
             "pnd,pmd->pnm", ref_node_corr_knn_feats, src_node_corr_knn_feats
         ) / (feats_f.shape[1] ** 0.5)
-        # Pallas VMEM-resident Sinkhorn for inference; differentiable scan
-        # for training (the Pallas kernel is forward-only).
-        ot_backend = "pallas" if (on_tpu and not training) else "scan"
+        # Pallas VMEM-resident Sinkhorn: forward-only kernel for inference,
+        # custom_vjp variant (in-VMEM backward sweep) for training; XLA scan
+        # off-TPU.
+        if on_tpu:
+            ot_backend = "pallas_vjp" if training else "pallas"
+        else:
+            ot_backend = "scan"
         matching_scores = LearnableLogOptimalTransport(
             cfg.model.num_sinkhorn_iterations, backend=ot_backend,
             name="optimal_transport",

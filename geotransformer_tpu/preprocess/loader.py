@@ -8,6 +8,7 @@ the accelerator consumes previous batches. Sharding across hosts follows
 `jax.process_index()` like the reference's DistributedSampler.
 """
 
+import multiprocessing
 import os
 from concurrent.futures import ProcessPoolExecutor
 
@@ -21,12 +22,25 @@ _WORKER_STATE = {}
 def _init_worker(dataset, pipeline_cfg):
     _WORKER_STATE["dataset"] = dataset
     _WORKER_STATE["cfg"] = pipeline_cfg
+    if pipeline_cfg.get("precompute_targets"):
+        # Target precompute runs jax-on-CPU inside this worker; pin the
+        # platform before any backend init so pool workers never contend
+        # for the parent's TPU (same pattern as tests/multihost_worker.py).
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
 
 def _process_index(index):
     dataset = _WORKER_STATE["dataset"]
     cfg = _WORKER_STATE["cfg"]
     return prepare_pair(dataset[index], **cfg)
+
+
+def _fetch_index(index):
+    """Raw (device-preprocess) mode: the worker only reads + augments the
+    sample; all pyramid work happens on device inside the step."""
+    return _WORKER_STATE["dataset"][index]
 
 
 def _is_bucketed(stage_caps, num_stages):
@@ -50,6 +64,46 @@ def _fits(size, cap):
     return max(size) <= cap
 
 
+_TARGET_FNS = {}
+
+
+def _hashable_caps(stage_caps):
+    return tuple(tuple(c) if isinstance(c, (list, tuple)) else int(c)
+                 for c in stage_caps)
+
+
+def _host_targets(model_cfg, stage_caps, batch):
+    """Run :func:`..models.geotransformer.precompute_gt_targets` on the host
+    CPU (jit-compiled once per capacity signature) and return numpy arrays.
+
+    This stages the reference's no_grad geometry (`model.py:76-108`) into
+    the loader next to the pyramid build, so the differentiated train step
+    never recomputes partition tables / GT overlaps (~6 ms/step on chip).
+    """
+    import jax
+
+    from geotransformer_tpu.models.geotransformer import precompute_gt_targets
+
+    key = (model_cfg, _hashable_caps(stage_caps))
+    fn = _TARGET_FNS.get(key)
+    if fn is None:
+        import dataclasses
+
+        cfg = dataclasses.replace(
+            model_cfg,
+            caps=dataclasses.replace(model_cfg.caps, stage_caps=key[1]),
+            # the host always computes targets with the XLA module (the
+            # Pallas overlap kernel is TPU-only)
+            model=dataclasses.replace(model_cfg.model, force_pallas=False),
+        )
+        fn = jax.jit(lambda b: precompute_gt_targets(cfg, b, with_gt=True))
+        _TARGET_FNS[key] = fn
+    cpu = jax.local_devices(backend="cpu")[0]
+    with jax.default_device(cpu):
+        targets = fn({k: v for k, v in batch.items() if k != "meta"})
+    return {k: np.asarray(v) for k, v in targets.items()}
+
+
 def prepare_pair(
     sample,
     num_stages,
@@ -59,6 +113,8 @@ def prepare_pair(
     stage_caps,
     input_dim=1,
     inverse_limits=None,
+    precompute_targets=False,
+    model_cfg=None,
 ):
     """Build + pad one registration pair from a dataset sample dict.
 
@@ -97,6 +153,10 @@ def prepare_pair(
     transform = np.asarray(sample.get("transform", np.eye(4)), np.float32)
     batch = pad_registration_batch(
         pyramid, feats, transform, stage_caps, inverse_limits=inverse_limits)
+    if precompute_targets:
+        if model_cfg is None:
+            raise ValueError("precompute_targets=True requires model_cfg")
+        batch.update(_host_targets(model_cfg, stage_caps, batch))
     batch["meta"] = {k: v for k, v in sample.items() if isinstance(v, (str, int, float))}
     return batch
 
@@ -114,6 +174,12 @@ class PairLoader:
         seed: base shuffle seed.
         num_shards / shard_index: host-level sharding.
         drop_last: drop the trailing incomplete batch group.
+        device_plan: a ``preprocess.device.DevicePreprocessPlan`` switching
+            the loader to RAW mode: workers only read/augment samples, the
+            main process pads stage 0 (a memcpy) to the group's capacity
+            bucket, and the consumer's jitted step builds the pyramid on
+            device (zero host pyramid work — replaces the reference's
+            in-worker CPU collate, `utils/data.py:13-77`).
     """
 
     def __init__(
@@ -127,9 +193,11 @@ class PairLoader:
         num_shards=1,
         shard_index=0,
         drop_last=True,
+        device_plan=None,
     ):
         self.dataset = dataset
         self.pipeline_cfg = dict(pipeline_cfg)
+        self.device_plan = device_plan
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = num_workers
@@ -159,12 +227,36 @@ class PairLoader:
 
     def _ensure_pool(self):
         if self.num_workers > 0 and self._pool is None:
+            # Workers that run jax-on-CPU (precompute_targets) must be
+            # spawned: forking a parent whose TPU/XLA runtime is already
+            # initialized leaves dead runtime threads in the child.
+            ctx = (
+                multiprocessing.get_context("spawn")
+                if self.pipeline_cfg.get("precompute_targets")
+                else None
+            )
             self._pool = ProcessPoolExecutor(
                 max_workers=self.num_workers,
                 initializer=_init_worker,
                 initargs=(self.dataset, self.pipeline_cfg),
+                mp_context=ctx,
             )
         return self._pool
+
+    def _pad_raw_group(self, samples):
+        """Pick the smallest bucket whose stage-0 capacity fits every member
+        (group members must share shapes to stack on the device axis), then
+        pad each sample into that bucket's stage-0 frame."""
+        from geotransformer_tpu.preprocess.device import prepare_raw_pair
+
+        plan = self.device_plan
+        bucket = max(
+            plan.bucket_for_lengths(len(s["ref_points"]), len(s["src_points"]))
+            for s in samples
+        )
+        cap0 = plan.buckets[bucket][0]
+        input_dim = self.pipeline_cfg.get("input_dim", 1)
+        return [prepare_raw_pair(s, cap0, input_dim) for s in samples]
 
     def __iter__(self):
         indices = self._indices()
@@ -174,26 +266,25 @@ class PairLoader:
             else len(indices)
         )
         indices = indices[:usable]
+        raw = self.device_plan is not None
         if self.num_workers > 0:
             pool = self._ensure_pool()
-            results = pool.map(_process_index, indices, chunksize=1)
-            group = []
-            for batch in results:
-                group.append(batch)
-                if len(group) == self.batch_size:
-                    yield group
-                    group = []
-            if group and not self.drop_last:
-                yield group
+            worker = _fetch_index if raw else _process_index
+            results = pool.map(worker, indices, chunksize=1)
         else:
-            group = []
-            for i in indices:
-                group.append(prepare_pair(self.dataset[int(i)], **self.pipeline_cfg))
-                if len(group) == self.batch_size:
-                    yield group
-                    group = []
-            if group and not self.drop_last:
-                yield group
+            results = (
+                self.dataset[int(i)] if raw
+                else prepare_pair(self.dataset[int(i)], **self.pipeline_cfg)
+                for i in indices
+            )
+        group = []
+        for item in results:
+            group.append(item)
+            if len(group) == self.batch_size:
+                yield self._pad_raw_group(group) if raw else group
+                group = []
+        if group and not self.drop_last:
+            yield self._pad_raw_group(group) if raw else group
 
     def close(self):
         if self._pool is not None:
