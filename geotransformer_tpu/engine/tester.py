@@ -19,7 +19,8 @@ from geotransformer_tpu.losses.overall import evaluate
 
 
 class Tester:
-    def __init__(self, cfg, model, loader, output_dir="output", feature_dir=None):
+    def __init__(self, cfg, model, loader, output_dir="output", feature_dir=None,
+                 device_plan=None):
         self.cfg = cfg
         self.model = model
         self.loader = loader
@@ -32,6 +33,11 @@ class Tester:
             log_file=osp.join(output_dir, "test.log"),
             process_index=jax.process_index(),
         )
+        # Device preprocessing (loader raw mode): the jitted forward builds
+        # the pyramid on chip first; one executable per capacity bucket,
+        # host-path fallback on overflow.
+        self.device_plan = device_plan
+        self._bucket_forwards = {}
 
         @jax.jit
         def forward(variables, batch):
@@ -41,6 +47,61 @@ class Tester:
 
         self._forward = forward
 
+    def _forward_for(self, bucket):
+        fwd = self._bucket_forwards.get(bucket)
+        if fwd is None:
+            from geotransformer_tpu.preprocess.device import build_pyramid_device
+
+            spec = self.device_plan.spec(bucket)
+            model, cfg = self.model, self.cfg
+
+            @jax.jit
+            def fwd(variables, raw):
+                built, overflow = build_pyramid_device(
+                    raw["raw_points"], raw["raw_lengths"], raw["raw_feats"],
+                    raw["transform"], **spec)
+                output = model.apply(variables, built, training=False, with_gt=True)
+                metrics = evaluate(cfg, output, built["transform"])
+                metrics["pyramid_overflow"] = jnp.any(overflow).astype(jnp.float32)
+                return output, metrics
+
+            self._bucket_forwards[bucket] = fwd
+        return fwd
+
+    def _run_pair(self, variables, batch):
+        """One pair through the right executable, applying the overflow
+        policy in raw mode. Returns (output, metrics, transform)."""
+        if self.device_plan is None or "raw_points" not in batch:
+            batch_dev = jax.tree.map(jnp.asarray, batch)
+            output, metrics = self._forward(variables, batch_dev)
+            return output, metrics, batch["transform"]
+        plan = self.device_plan
+        bucket = plan.bucket_for_cap0(batch["raw_points"].shape[0] // 2)
+        while True:
+            raw_dev = jax.tree.map(jnp.asarray, batch)
+            output, metrics = self._forward_for(bucket)(variables, raw_dev)
+            if float(metrics["pyramid_overflow"]) == 0.0:
+                metrics = dict(metrics)
+                metrics.pop("pyramid_overflow")
+                return output, metrics, batch["transform"]
+            if plan.overflow_policy == "raise":
+                raise RuntimeError(
+                    "device pyramid stage-capacity overflow "
+                    "(overflow_policy='raise'); recalibrate caps/buckets")
+            nxt = (plan.next_bucket(bucket)
+                   if plan.overflow_policy == "escalate" else None)
+            if nxt is not None:
+                batch = plan.repad_raw(batch, nxt)
+                bucket = nxt
+                continue
+            self.logger.warning(
+                "device pyramid overflow: host-path fallback for this pair")
+            host = plan.host_batch(batch)
+            host.pop("meta", None)
+            batch_dev = jax.tree.map(jnp.asarray, host)
+            output, metrics = self._forward(variables, batch_dev)
+            return output, metrics, host["transform"]
+
     def run(self, variables, save_features=True):
         summary = SummaryBoard()
         timer = Timer()
@@ -49,16 +110,15 @@ class Tester:
         for group in self.loader:
             for batch in group:
                 meta = batch.pop("meta", {})
-                batch_dev = jax.tree.map(jnp.asarray, batch)
                 timer.toc_prepare()
                 timer.tic_process()
-                output, metrics = self._forward(variables, batch_dev)
+                output, metrics, transform = self._run_pair(variables, batch)
                 metrics = {k: float(v) for k, v in metrics.items()}
                 timer.toc_process()
                 summary.update_from_dict(metrics)
                 results.append({**meta, **metrics})
                 if save_features and self.feature_dir is not None:
-                    self._dump_features(meta, batch, output)
+                    self._dump_features(meta, transform, output)
                 timer.tic_prepare()
         self.logger.info(
             f"test done: {summary.tostring()} | prep {timer.get_prepare_time():.3f}s "
@@ -66,7 +126,7 @@ class Tester:
         )
         return summary.summary(), results
 
-    def _dump_features(self, meta, batch, output):
+    def _dump_features(self, meta, transform, output):
         """Per-pair npz archive (reference test.py:65-92 contract)."""
         scene = meta.get("scene_name", meta.get("seq_id", "default"))
         ref_frame = meta.get("ref_frame", 0)
@@ -96,7 +156,7 @@ class Tester:
             gt_node_corr_indices=_gt_corr_indices(output),
             gt_node_corr_overlaps=_gt_corr_overlaps(output),
             estimated_transform=np.asarray(output["estimated_transform"]),
-            transform=np.asarray(batch["transform"]),
+            transform=np.asarray(transform),
         )
 
 

@@ -54,6 +54,7 @@ class Trainer:
         tensorboard=True,
         profile_steps=None,
         debug_nans=False,
+        device_plan=None,
     ):
         if debug_nans:
             # jax equivalent of the reference's autograd anomaly detection
@@ -81,8 +82,21 @@ class Trainer:
         world = n_global if self.mesh is not None else 1
         steps_per_epoch = max(len(train_loader), 1)
         self.tx = make_optimizer(cfg, steps_per_epoch, world_size=world)
-        self.train_step = make_train_step(model, cfg, self.tx, mesh=self.mesh)
-        self.eval_step = make_eval_step(model, cfg, mesh=self.mesh)
+        # Device preprocessing (loader raw mode): one train/eval step per
+        # capacity bucket, each building the pyramid on chip; a host-path
+        # step pair is kept as the overflow fallback. Built lazily —
+        # each is a separate XLA executable.
+        self.device_plan = device_plan
+        if device_plan is not None:
+            self._bucket_train_steps = {}
+            self._bucket_eval_steps = {}
+            self.train_step = None
+            self.eval_step = None
+            self._host_train_step = None
+            self._host_eval_step = None
+        else:
+            self.train_step = make_train_step(model, cfg, self.tx, mesh=self.mesh)
+            self.eval_step = make_eval_step(model, cfg, mesh=self.mesh)
         self.checkpoints = CheckpointManager(
             os.path.join(output_dir, "checkpoints"), max_to_keep=max_checkpoints
         )
@@ -126,6 +140,10 @@ class Trainer:
             self._profiling = False
 
     def initialize(self, example_batch):
+        if self.device_plan is not None and "raw_points" in example_batch:
+            # params/optimizer shapes are capacity-independent; one host
+            # build of the example pair is the simplest way to init.
+            example_batch = self.device_plan.host_batch(example_batch)
         example = {k: v for k, v in example_batch.items() if k != "meta"}
         example = jax.tree.map(jnp.asarray, example)
         self.state = init_train_state(
@@ -143,19 +161,118 @@ class Trainer:
         except FileNotFoundError:
             return False
 
+    # ---- device-preprocess (raw-mode) step dispatch ----
+
+    def _bucket_of_group(self, group):
+        return self.device_plan.bucket_for_cap0(
+            group[0]["raw_points"].shape[0] // 2)
+
+    def _train_step_for(self, bucket):
+        step = self._bucket_train_steps.get(bucket)
+        if step is None:
+            step = make_train_step(
+                self.model, self.cfg, self.tx, mesh=self.mesh,
+                pyramid_spec=self.device_plan.spec(bucket))
+            self._bucket_train_steps[bucket] = step
+        return step
+
+    def _eval_step_for(self, bucket):
+        step = self._bucket_eval_steps.get(bucket)
+        if step is None:
+            step = make_eval_step(
+                self.model, self.cfg, mesh=self.mesh,
+                pyramid_spec=self.device_plan.spec(bucket, with_inverse=False))
+            self._bucket_eval_steps[bucket] = step
+        return step
+
+    def _overflow_host_group(self, group, kind):
+        """Overflow endgame: host pyramid build at the largest bucket's caps
+        (the device step skipped its update, so re-running is exact)."""
+        self.logger.warning(
+            f"device pyramid overflow ({kind}): host-path fallback for this "
+            f"group — consider recalibrating caps/buckets")
+        return self.device_plan.host_group(group)
+
+    def _train_on_group(self, group, step_rng):
+        if self.device_plan is None:
+            batch = _device_batch(group, self.mesh)
+            self.state, aux = self.train_step(self.state, batch, step_rng)
+            return {k: float(v) for k, v in aux.items()}
+        plan = self.device_plan
+        bucket = self._bucket_of_group(group)
+        while True:
+            batch = _device_batch(group, self.mesh)
+            self.state, aux = self._train_step_for(bucket)(
+                self.state, batch, step_rng)
+            aux = {k: float(v) for k, v in aux.items()}
+            if aux.get("pyramid_overflow", 0.0) == 0.0:
+                return aux
+            # a stage capacity overflowed on some device; the step skipped
+            # the whole optimizer update, so the retry below is exact.
+            if plan.overflow_policy == "raise":
+                raise RuntimeError(
+                    "device pyramid stage-capacity overflow "
+                    "(overflow_policy='raise'); recalibrate caps/buckets")
+            nxt = (plan.next_bucket(bucket)
+                   if plan.overflow_policy == "escalate" else None)
+            if nxt is not None:
+                self.logger.warning(
+                    f"device pyramid overflow at bucket {bucket}; "
+                    f"escalating group to bucket {nxt}")
+                group = [plan.repad_raw(b, nxt) for b in group]
+                bucket = nxt
+                continue
+            host_group = self._overflow_host_group(group, "train")
+            if self._host_train_step is None:
+                self._host_train_step = make_train_step(
+                    self.model, self.cfg, self.tx, mesh=self.mesh)
+            batch = _device_batch(host_group, self.mesh)
+            self.state, aux = self._host_train_step(self.state, batch, step_rng)
+            return {k: float(v) for k, v in aux.items()}
+
+    def _eval_on_group(self, group):
+        if self.device_plan is None:
+            batch = _device_batch(group, self.mesh)
+            metrics = self.eval_step(self.state, batch)
+            return {k: float(v) for k, v in metrics.items()}
+        plan = self.device_plan
+        bucket = self._bucket_of_group(group)
+        while True:
+            batch = _device_batch(group, self.mesh)
+            metrics = self._eval_step_for(bucket)(self.state, batch)
+            metrics = {k: float(v) for k, v in metrics.items()}
+            if metrics.get("pyramid_overflow", 0.0) == 0.0:
+                metrics.pop("pyramid_overflow", None)
+                return metrics
+            if plan.overflow_policy == "raise":
+                raise RuntimeError(
+                    "device pyramid stage-capacity overflow "
+                    "(overflow_policy='raise'); recalibrate caps/buckets")
+            nxt = (plan.next_bucket(bucket)
+                   if plan.overflow_policy == "escalate" else None)
+            if nxt is not None:
+                group = [plan.repad_raw(b, nxt) for b in group]
+                bucket = nxt
+                continue
+            host_group = self._overflow_host_group(group, "eval")
+            if self._host_eval_step is None:
+                self._host_eval_step = make_eval_step(
+                    self.model, self.cfg, mesh=self.mesh)
+            batch = _device_batch(host_group, self.mesh)
+            metrics = self._host_eval_step(self.state, batch)
+            return {k: float(v) for k, v in metrics.items()}
+
     def train_epoch(self):
         summary = SummaryBoard(last_n=self.log_steps)
         timer = Timer()
         self.train_loader.set_epoch(self.epoch)
         timer.tic_prepare()
         for it, group in enumerate(self.train_loader):
-            batch = _device_batch(group, self.mesh)
             timer.toc_prepare()
             timer.tic_process()
             self._maybe_profile(int(self.state.step))
             self.rng, step_rng = jax.random.split(self.rng)
-            self.state, aux = self.train_step(self.state, batch, step_rng)
-            aux = {k: float(v) for k, v in aux.items()}
+            aux = self._train_on_group(group, step_rng)
             timer.toc_process()
             summary.update_from_dict(aux)
             self._write_scalars("train", aux, int(self.state.step))
@@ -174,9 +291,7 @@ class Trainer:
             return {}
         summary = SummaryBoard()
         for group in self.val_loader:
-            batch = _device_batch(group, self.mesh)
-            metrics = self.eval_step(self.state, batch)
-            summary.update_from_dict({k: float(v) for k, v in metrics.items()})
+            summary.update_from_dict(self._eval_on_group(group))
         result = summary.summary()
         self.logger.info(f"validation epoch {self.epoch}: {summary.tostring()}")
         self._write_scalars("val", result, int(self.state.step))
@@ -213,11 +328,10 @@ class Trainer:
             self.train_loader.set_epoch(self.epoch)
             self.epoch += 1
             for group in self.train_loader:
-                batch = _device_batch(group, self.mesh)
                 self.rng, step_rng = jax.random.split(self.rng)
-                self.state, aux = self.train_step(self.state, batch, step_rng)
+                aux = self._train_on_group(group, step_rng)
                 it += 1
-                summary.update_from_dict({k: float(v) for k, v in aux.items()})
+                summary.update_from_dict(aux)
                 if it % self.log_steps == 0:
                     self.logger.info(f"iter {it}/{max_iter}: {summary.tostring()}")
                 if it % snapshot_steps == 0:

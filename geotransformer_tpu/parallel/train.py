@@ -97,13 +97,40 @@ def _squeeze_leading(tree):
     return jax.tree.map(lambda x: x[0], tree)
 
 
-def make_train_step(model, cfg, tx, mesh=None, check_finite=True):
+def _maybe_build_pyramid(batch, pyramid_spec):
+    """If the per-device batch is raw (loader device-preprocess mode), build
+    the full pyramid on chip (preprocess/device.build_pyramid_device — the
+    in-step replacement for the reference's CPU collate workers,
+    `/root/reference/geotransformer/utils/data.py:13-77`).
+
+    Returns (batch, overflow bool or None)."""
+    if pyramid_spec is None or "raw_points" not in batch:
+        return batch, None
+    from geotransformer_tpu.preprocess.device import build_pyramid_device
+
+    transform = batch["transform"]
+    built, overflow = build_pyramid_device(
+        batch["raw_points"], batch["raw_lengths"], batch["raw_feats"],
+        transform, **pyramid_spec
+    )
+    return built, jnp.any(overflow)
+
+
+def make_train_step(model, cfg, tx, mesh=None, check_finite=True,
+                    pyramid_spec=None):
     """Build the jitted (state, stacked_batch, rng) -> (state, metrics) step.
 
     With a mesh, `stacked_batch` has a leading device axis of size
     mesh.shape['data'] (one registration pair per device), sharded over the
     `data` axis; gradients/metrics are `pmean`-reduced. Without a mesh, the
     leading axis must be 1.
+
+    With ``pyramid_spec`` (static kwargs for build_pyramid_device), raw
+    batches from the device-preprocess loader are turned into full pyramids
+    on chip inside the step; a stage-capacity overflow anywhere on the mesh
+    skips the whole optimizer update (params/opt_state/step untouched) and
+    is reported as ``aux['pyramid_overflow']`` so the trainer can apply its
+    policy (escalate bucket / host fallback / raise).
     """
 
     def loss_fn(params, constants, batch, rng):
@@ -116,6 +143,7 @@ def make_train_step(model, cfg, tx, mesh=None, check_finite=True):
 
     def device_step(state, batch_stacked, rng):
         batch = _squeeze_leading(batch_stacked)
+        batch, overflow = _maybe_build_pyramid(batch, pyramid_spec)
         if mesh is not None:
             rng = jax.random.fold_in(rng, jax.lax.axis_index(DATA_AXIS))
         grads, aux = jax.grad(loss_fn, has_aux=True)(
@@ -124,8 +152,14 @@ def make_train_step(model, cfg, tx, mesh=None, check_finite=True):
         if mesh is not None:
             grads = jax.lax.pmean(grads, DATA_AXIS)
             aux = jax.lax.pmean(aux, DATA_AXIS)
-        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
-        new_params = optax.apply_updates(state.params, updates)
+        ok = jnp.bool_(True)
+        if overflow is not None:
+            over_any = overflow
+            if mesh is not None:
+                over_any = jax.lax.pmax(
+                    overflow.astype(jnp.float32), DATA_AXIS) > 0
+            ok = jnp.logical_and(ok, jnp.logical_not(over_any))
+            aux = dict(aux, pyramid_overflow=over_any.astype(jnp.float32))
         if check_finite:
             # NaN/Inf gradient guard (reference base_trainer.py:219-227):
             # a skipped step must leave params AND optimizer state untouched
@@ -137,10 +171,13 @@ def make_train_step(model, cfg, tx, mesh=None, check_finite=True):
                     [jnp.all(jnp.isfinite(g)) for g in jax.tree.leaves(grads)]
                 )
             )
-            keep = lambda new, old: jnp.where(finite, new, old)
-            new_params = jax.tree.map(keep, new_params, state.params)
-            new_opt_state = jax.tree.map(keep, new_opt_state, state.opt_state)
+            ok = jnp.logical_and(ok, finite)
             aux = dict(aux, grad_finite=finite.astype(jnp.float32))
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        keep = lambda new, old: jnp.where(ok, new, old)
+        new_params = jax.tree.map(keep, new_params, state.params)
+        new_opt_state = jax.tree.map(keep, new_opt_state, state.opt_state)
         new_state = state.replace(
             step=state.step + 1, params=new_params, opt_state=new_opt_state
         )
@@ -159,17 +196,20 @@ def make_train_step(model, cfg, tx, mesh=None, check_finite=True):
     return jax.jit(sharded)
 
 
-def make_eval_step(model, cfg, mesh=None):
+def make_eval_step(model, cfg, mesh=None, pyramid_spec=None):
     """Jitted inference + metrics step (no grad)."""
     from geotransformer_tpu.losses.overall import evaluate
 
     def device_step(state, batch_stacked):
         batch = _squeeze_leading(batch_stacked)
+        batch, overflow = _maybe_build_pyramid(batch, pyramid_spec)
         variables = {"params": state.params, "constants": state.constants}
         output = model.apply(variables, batch, training=False, with_gt=True)
         loss, aux = overall_loss(cfg, output, batch["transform"])
         metrics = evaluate(cfg, output, batch["transform"])
         metrics.update(aux)
+        if overflow is not None:
+            metrics["pyramid_overflow"] = overflow.astype(jnp.float32)
         if mesh is not None:
             metrics = jax.lax.pmean(metrics, DATA_AXIS)
         return metrics

@@ -10,6 +10,8 @@ from geotransformer_tpu.preprocess.pyramid import (
 from geotransformer_tpu.preprocess.device import (
     build_pyramid_device,
     pad_stage0,
+    prepare_raw_pair,
+    DevicePreprocessPlan,
 )
 from geotransformer_tpu.preprocess.calibrate import (
     calibrate_neighbor_limits,

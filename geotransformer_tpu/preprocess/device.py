@@ -316,6 +316,203 @@ def build_pyramid_device(points, lengths, feats, transform, num_stages,
     return out, jnp.stack(overflow)
 
 
+class DevicePreprocessPlan:
+    """Production plan for loader-integrated device preprocessing.
+
+    Owns the static pyramid spec(s) — one per capacity bucket, ascending —
+    plus the overflow policy shared by the trainer/tester/bench paths.
+    Replaces the reference's in-worker CPU collate
+    (`/root/reference/geotransformer/utils/data.py:13-77` +
+    `extensions/cpu/*`) with in-step :func:`build_pyramid_device` calls:
+    the loader only pads raw points (:func:`pad_stage0`, a memcpy), and the
+    jitted train/eval step builds the whole pyramid on chip.
+
+    Args:
+        cfg: GeoTransformerConfig (symmetric integer stage caps required —
+            the device builder lays both clouds out at the same capacity).
+        buckets: optional ascending list of whole-pyramid cap tuples
+            (from ``calibrate_stage_cap_buckets``); default = [cfg caps].
+            Bucket stage-0 capacities must be strictly increasing so a raw
+            batch's shape identifies its bucket.
+        with_inverse: emit inverse neighbor tables (training batches).
+        overflow_policy: 'escalate' (retry the group at the next bucket,
+            then fall back to host), 'host' (host pyramid build fallback),
+            or 'raise'.
+    """
+
+    def __init__(self, cfg, buckets=None, with_inverse=False,
+                 overflow_policy="escalate"):
+        if overflow_policy not in ("escalate", "host", "raise"):
+            raise ValueError(f"unknown overflow_policy {overflow_policy!r}")
+        if buckets is None:
+            buckets = [tuple(cfg.caps.stage_caps)]
+        for bucket in buckets:
+            if any(isinstance(c, (tuple, list)) for c in bucket):
+                raise ValueError(
+                    "device preprocessing requires symmetric integer stage "
+                    f"caps (got {bucket}); asymmetric (ref, src) caps are a "
+                    "host-pipeline feature")
+        cap0s = [int(b[0]) for b in buckets]
+        if sorted(set(cap0s)) != cap0s:
+            raise ValueError(
+                f"bucket stage-0 capacities must be strictly increasing "
+                f"(got {cap0s}): a raw batch's shape must identify its bucket")
+        self.cfg = cfg
+        self.buckets = [tuple(int(c) for c in b) for b in buckets]
+        self.with_inverse = with_inverse
+        self.overflow_policy = overflow_policy
+
+    @property
+    def num_stages(self):
+        return self.cfg.backbone.num_stages
+
+    def spec(self, bucket_index, with_inverse=None):
+        """Static kwargs for :func:`build_pyramid_device` at a bucket."""
+        cfg = self.cfg
+        if with_inverse is None:
+            with_inverse = self.with_inverse
+        inv = tuple(cfg.caps.inverse_limits) if with_inverse else None
+        return dict(
+            num_stages=cfg.backbone.num_stages,
+            voxel_size=cfg.backbone.init_voxel_size,
+            radius=cfg.backbone.init_radius,
+            neighbor_limits=tuple(cfg.caps.neighbor_limits),
+            stage_caps=self.buckets[bucket_index],
+            inverse_limits=inv,
+        )
+
+    def bucket_for_lengths(self, ref_len, src_len):
+        """Smallest bucket whose stage-0 capacity fits the raw clouds.
+
+        Only stage 0 is known host-side; deeper-stage overflows surface via
+        the step's overflow flag and escalate.
+        """
+        need = max(int(ref_len), int(src_len))
+        for i, b in enumerate(self.buckets):
+            if need <= b[0]:
+                return i
+        raise ValueError(
+            f"cloud sizes ({ref_len}, {src_len}) exceed the largest bucket's "
+            f"stage-0 capacity {self.buckets[-1][0]}")
+
+    def bucket_for_cap0(self, cap0):
+        """Bucket index from a raw batch's stage-0 capacity (shape//2)."""
+        for i, b in enumerate(self.buckets):
+            if b[0] == cap0:
+                return i
+        raise ValueError(f"no bucket with stage-0 capacity {cap0}")
+
+    def next_bucket(self, bucket_index):
+        """Next (larger) bucket index, or None at the top."""
+        return bucket_index + 1 if bucket_index + 1 < len(self.buckets) else None
+
+    def repad_raw(self, raw_batch, bucket_index):
+        """Re-lay a host raw batch into a larger bucket's stage-0 frame
+        (numpy memcpy; used when escalating an overflowed group)."""
+        import numpy as np
+
+        old_cap0 = raw_batch["raw_points"].shape[0] // 2
+        cap0 = self.buckets[bucket_index][0]
+        lengths = np.asarray(raw_batch["raw_lengths"])
+        ref_len, src_len = int(lengths[0]), int(lengths[1])
+        pts = np.concatenate([
+            np.asarray(raw_batch["raw_points"])[:ref_len],
+            np.asarray(raw_batch["raw_points"])[old_cap0:old_cap0 + src_len],
+        ], axis=0)
+        feats = np.concatenate([
+            np.asarray(raw_batch["raw_feats"])[:ref_len],
+            np.asarray(raw_batch["raw_feats"])[old_cap0:old_cap0 + src_len],
+        ], axis=0)
+        out = dict(raw_batch)
+        out["raw_points"], out["raw_lengths"], new_feats = pad_stage0(
+            pts, lengths, cap0, feats.shape[1])
+        new_feats[:ref_len] = feats[:ref_len]
+        new_feats[cap0:cap0 + src_len] = feats[ref_len:]
+        out["raw_feats"] = new_feats
+        return out
+
+    def host_group(self, raw_group, cap_multiple=256):
+        """Host-pipeline fallback: full pyramid build + padding for a group
+        of raw batches (overflow_policy='host', or 'escalate' exhausted).
+
+        Since the device and host builders produce identical voxel counts, a
+        pair that overflowed the largest bucket on device would overflow the
+        same caps on host too — so the group pads to elementwise
+        max(largest bucket, the group's sizes rounded up to
+        ``cap_multiple``), one shared caps tuple so members still stack on
+        the device axis. The coarse rounding bounds how many distinct
+        executables outlier pairs can force.
+        """
+        import numpy as np
+
+        from geotransformer_tpu.preprocess.pyramid import (
+            build_pyramid, pad_registration_batch, caps_for_pyramid)
+
+        spec = self.spec(len(self.buckets) - 1)
+        unpacked = []
+        for raw_batch in raw_group:
+            cap0 = raw_batch["raw_points"].shape[0] // 2
+            lengths = np.asarray(raw_batch["raw_lengths"])
+            ref_len, src_len = int(lengths[0]), int(lengths[1])
+            pts = np.concatenate([
+                np.asarray(raw_batch["raw_points"])[:ref_len],
+                np.asarray(raw_batch["raw_points"])[cap0:cap0 + src_len],
+            ], axis=0)
+            feats = np.concatenate([
+                np.asarray(raw_batch["raw_feats"])[:ref_len],
+                np.asarray(raw_batch["raw_feats"])[cap0:cap0 + src_len],
+            ], axis=0)
+            pyramid = build_pyramid(
+                pts, lengths, spec["num_stages"], spec["voxel_size"],
+                spec["radius"], list(spec["neighbor_limits"]))
+            unpacked.append((raw_batch, pyramid, feats))
+
+        caps = list(spec["stage_caps"])
+        for _, pyramid, _ in unpacked:
+            fit = caps_for_pyramid(pyramid, multiple=cap_multiple, per_cloud=False)
+            caps = [max(a, int(b)) for a, b in zip(caps, fit)]
+        caps = tuple(caps)
+
+        out = []
+        for raw_batch, pyramid, feats in unpacked:
+            batch = pad_registration_batch(
+                pyramid, feats, np.asarray(raw_batch["transform"]),
+                caps, inverse_limits=spec["inverse_limits"])
+            if "meta" in raw_batch:
+                batch["meta"] = raw_batch["meta"]
+            out.append(batch)
+        return out
+
+    def host_batch(self, raw_batch, cap_multiple=256):
+        """Single-pair convenience wrapper over :meth:`host_group`."""
+        return self.host_group([raw_batch], cap_multiple)[0]
+
+
+def prepare_raw_pair(sample, cap0, input_dim=1):
+    """Loader-side raw-mode prepare: a memcpy into the stage-0 frame, no
+    pyramid work (that runs on device inside the step)."""
+    import numpy as np
+
+    ref_points = np.asarray(sample["ref_points"], np.float32)
+    src_points = np.asarray(sample["src_points"], np.float32)
+    points = np.concatenate([ref_points, src_points], axis=0)
+    lengths = np.asarray([len(ref_points), len(src_points)])
+    pts0, lens0, feats0 = pad_stage0(points, lengths, cap0, input_dim)
+    if "ref_feats" in sample:
+        feats0[:lengths[0]] = np.asarray(sample["ref_feats"], np.float32)
+        feats0[cap0:cap0 + lengths[1]] = np.asarray(sample["src_feats"], np.float32)
+    batch = {
+        "raw_points": pts0,
+        "raw_lengths": lens0,
+        "raw_feats": feats0,
+        "transform": np.asarray(sample.get("transform", np.eye(4)), np.float32),
+    }
+    batch["meta"] = {
+        k: v for k, v in sample.items() if isinstance(v, (str, int, float))
+    }
+    return batch
+
+
 def pad_stage0(points, lengths, cap0, feat_dim=1):
     """Host helper: lay raw stacked ref+src points into the stage-0 padded
     frame expected by :func:`build_pyramid_device` (a memcpy, not

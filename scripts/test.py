@@ -29,6 +29,9 @@ def main():
     parser.add_argument("--benchmark", default=None,
                         help="3DMatch subset name: 3DMatch | 3DLoMatch | val")
     parser.add_argument("--checkpoint_dir", default=None)
+    parser.add_argument("--test_epoch", type=int, default=None,
+                        help="restore this checkpoint step/epoch instead of "
+                             "the latest (reference --test_epoch)")
     parser.add_argument("--torch_snapshot", default=None,
                         help="convert a reference .pth.tar instead of a checkpoint")
     parser.add_argument("--output_dir", default=None)
@@ -37,6 +40,12 @@ def main():
                         help="calibrate N capacity buckets over the dataset "
                              "(pairs pad to the smallest fitting bucket; at "
                              "most N compiled executables). 0 = config caps.")
+    parser.add_argument("--device_preprocess", action="store_true",
+                        help="build the point pyramid ON DEVICE inside the "
+                             "jitted forward (zero host pyramid work)")
+    parser.add_argument("--overflow_policy", choices=("escalate", "host", "raise"),
+                        default="escalate",
+                        help="device-preprocess stage-capacity overflow policy")
     args = parser.parse_args()
 
     cfg = make_config(args.dataset)
@@ -79,12 +88,26 @@ def main():
         stage_caps=stage_caps,
         input_dim=cfg.backbone.input_dim,
     )
-    loader = PairLoader(dataset, pipeline_cfg, batch_size=1, num_workers=args.num_workers)
+    device_plan = None
+    if args.device_preprocess:
+        from geotransformer_tpu.preprocess import DevicePreprocessPlan
+
+        buckets = stage_caps if args.cap_buckets > 0 else None
+        device_plan = DevicePreprocessPlan(
+            cfg, buckets=buckets, overflow_policy=args.overflow_policy)
+    loader = PairLoader(dataset, pipeline_cfg, batch_size=1,
+                        num_workers=args.num_workers, device_plan=device_plan)
 
     model = create_model(cfg)
     from geotransformer_tpu.preprocess.loader import prepare_pair
 
-    example = prepare_pair(dataset[0], **pipeline_cfg)
+    if device_plan is not None:
+        from geotransformer_tpu.preprocess import prepare_raw_pair
+
+        example = device_plan.host_batch(prepare_raw_pair(
+            dataset[0], device_plan.buckets[-1][0], cfg.backbone.input_dim))
+    else:
+        example = prepare_pair(dataset[0], **pipeline_cfg)
     example.pop("meta", None)
     import jax.numpy as jnp
 
@@ -107,12 +130,13 @@ def main():
         tx = make_optimizer(cfg, steps_per_epoch=1)
         state = init_train_state(model, cfg, jax.random.PRNGKey(0), example, tx)
         manager = CheckpointManager(args.checkpoint_dir)
-        state, step = manager.restore(state)
+        state, step = manager.restore(state, step=args.test_epoch)
         print(f"restored checkpoint step {step}")
         variables = {"params": state.params, "constants": state.constants}
 
     feature_dir = osp.join(output_dir, "features", benchmark)
-    tester = Tester(cfg, model, loader, output_dir=output_dir, feature_dir=feature_dir)
+    tester = Tester(cfg, model, loader, output_dir=output_dir,
+                    feature_dir=feature_dir, device_plan=device_plan)
     summary, _ = tester.run(variables)
     print({k: round(v, 4) for k, v in summary.items()})
 

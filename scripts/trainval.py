@@ -60,6 +60,18 @@ def main():
                         help="pairs per step; defaults to the device count")
     parser.add_argument("--num_workers", type=int, default=8)
     parser.add_argument("--iters", action="store_true", help="iteration-based training")
+    parser.add_argument(
+        "--no_precompute_targets", action="store_true",
+        help="compute partition/GT-overlap targets inside the train step "
+             "instead of in the loader workers (slower steps; debug only)")
+    parser.add_argument(
+        "--device_preprocess", action="store_true",
+        help="build the point pyramid ON DEVICE inside the train/eval step "
+             "(zero host pyramid work; loaders only memcpy raw points)")
+    parser.add_argument(
+        "--overflow_policy", choices=("escalate", "host", "raise"),
+        default="escalate",
+        help="device-preprocess stage-capacity overflow policy")
     args = parser.parse_args()
 
     cfg = make_config(args.dataset)
@@ -75,22 +87,44 @@ def main():
         input_dim=cfg.backbone.input_dim,
     )
     # training batches carry inverse neighbor tables (scatter-free backward)
-    train_pipeline_cfg = dict(pipeline_cfg, inverse_limits=cfg.caps.inverse_limits)
+    # and host-precomputed partition/GT-overlap targets (the reference's
+    # no_grad geometry, hoisted out of the differentiated step)
+    train_pipeline_cfg = dict(
+        pipeline_cfg,
+        inverse_limits=cfg.caps.inverse_limits,
+        precompute_targets=not args.no_precompute_targets,
+        model_cfg=cfg,
+    )
     train_subset = "train"
     val_subset = "val"
+    device_plan = None
+    if args.device_preprocess:
+        from geotransformer_tpu.preprocess import DevicePreprocessPlan, prepare_raw_pair
+
+        device_plan = DevicePreprocessPlan(
+            cfg, with_inverse=True, overflow_policy=args.overflow_policy)
     train_loader = PairLoader(
         build_dataset(cfg, args, train_subset, True), train_pipeline_cfg,
         batch_size=batch_size, shuffle=True, num_workers=args.num_workers,
         seed=cfg.seed, num_shards=jax.process_count(), shard_index=jax.process_index(),
+        device_plan=device_plan,
     )
     val_loader = PairLoader(
         build_dataset(cfg, args, val_subset, False), pipeline_cfg,
         batch_size=batch_size, shuffle=False, num_workers=args.num_workers,
+        device_plan=device_plan,
     )
 
     model = create_model(cfg)
-    trainer = Trainer(cfg, model, train_loader, val_loader, output_dir=output_dir)
-    example = prepare_pair(build_dataset(cfg, args, train_subset, True)[0], **train_pipeline_cfg)
+    trainer = Trainer(cfg, model, train_loader, val_loader, output_dir=output_dir,
+                      device_plan=device_plan)
+    if device_plan is not None:
+        example = prepare_raw_pair(
+            build_dataset(cfg, args, train_subset, True)[0],
+            device_plan.buckets[-1][0], cfg.backbone.input_dim)
+    else:
+        example = prepare_pair(
+            build_dataset(cfg, args, train_subset, True)[0], **train_pipeline_cfg)
     example.pop("meta", None)
     trainer.initialize(example)
     if args.iters:
