@@ -16,10 +16,10 @@ _INF = 1e12
 
 class LearnableLogOptimalTransport(nn.Module):
     """SuperGlue-style OT. `backend`:
-      * "scan"   — XLA lax.scan loop (differentiable; used for training)
-      * "pallas" — VMEM-resident Pallas kernel (forward-only, fastest)
-      * "auto"   — pallas on TPU when gradients are not needed upstream
-                   (selected by the caller via `use_pallas`).
+      * "scan"       — XLA lax.scan loop (differentiable, remat)
+      * "pallas"     — VMEM-resident Pallas kernel (forward-only, fastest)
+      * "pallas_vjp" — VMEM-resident kernel with an in-VMEM custom_vjp
+                       backward (training on TPU; gradients match "scan")
     """
 
     num_iterations: int
@@ -88,6 +88,16 @@ class LearnableLogOptimalTransport(nn.Module):
             from geotransformer_tpu.kernels.sinkhorn import sinkhorn_log_iterations
 
             outputs = sinkhorn_log_iterations(
+                padded_scores, log_mu, log_nu, self.num_iterations
+            )
+            return outputs - norm[:, None, None]
+
+        if self.backend == "pallas_vjp":
+            from geotransformer_tpu.kernels.sinkhorn import (
+                sinkhorn_log_iterations_train,
+            )
+
+            outputs = sinkhorn_log_iterations_train(
                 padded_scores, log_mu, log_nu, self.num_iterations
             )
             return outputs - norm[:, None, None]
