@@ -2,18 +2,35 @@
 r"""Benchmark: full registration model throughput on the bundled demo pair.
 
 Prints ONE JSON line:
-  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N, ...extras}
 
-Metric: steady-state jitted model forwards per second on one TPU chip for
-the real 3DMatch demo pair (19k/16k points, full pipeline: KPConv FPN ->
-geometric transformer -> superpoint matching -> 100-iter Sinkhorn -> LGR
-with on-device SVD).
+Primary metric: steady-state jitted model forwards per second on one TPU
+chip for the real 3DMatch demo pair (19k/16k points, full pipeline: KPConv
+FPN -> geometric transformer -> superpoint matching -> 100-iter Sinkhorn ->
+LGR with on-device SVD).
 
 Baseline: the reference publishes no wall-clock numbers
 (`/root/reference/README.md` has only quality metrics). The GeoTransformer
-paper (arXiv:2202.06688) reports ~66ms model time + ~6ms pose time per pair
-on an RTX 3090 for 3DMatch; we take ~14 pairs/s as the CUDA-GPU-class
-baseline (A100-class hardware, same order). vs_baseline = ours / 14.
+paper (arXiv:2202.06688, Table 6) reports ~66 ms model time + ~6 ms pose
+time per pair on an RTX 3090 for 3DMatch => 13.9 pairs/s. The driver's
+gate is "vs A100"; no published A100 GeoTransformer number exists, so the
+constant scales the 3090 measurement by a deliberately generous 1.5x
+(A100 vs 3090 on this gather/small-matmul/CPU-SVD-bound torch workload is
+plausibly 1.2-1.5x; 1.5x is the conservative-for-us end):
+BASELINE = 13.9 * 1.5 ~= 21 pairs/s. vs_baseline = ours / 21.
+
+Extra keys on the same line:
+  train_step_ms / train_pairs_per_sec — full production train step
+      (forward + backward + Adam) with loader-precomputed GT targets.
+  train_step_in_graph_targets_ms — same step with the no_grad geometry
+      recomputed in-step (the pre-hoist configuration, for comparison).
+  e2e_device_ms / e2e_device_pairs_per_sec — device-preprocess inference:
+      on-chip pyramid build (voxel subsample + exact radius KNN) + forward
+      in ONE jitted program from raw padded points.
+  calibrated_caps_pairs_per_sec — forward at the dataset-calibrated config
+      capacities instead of caps fitted to this pair (production padding).
+  kitti_pairs_per_sec — KITTI-scale forward (synthetic LiDAR-like pair,
+      5-stage backbone, hidden 128, patch 128, ~30k points).
 """
 
 import json
@@ -30,13 +47,98 @@ import jax.numpy as jnp
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
-BASELINE_PAIRS_PER_SEC = 14.0
+BASELINE_PAIRS_PER_SEC = 21.0
+
+
+def _forward_ms(model, variables, batch, iters=6):
+    from geotransformer_tpu.utils.timing import trace_ms
+
+    return trace_ms(
+        lambda v, b: model.apply(v, b, training=False, with_gt=False),
+        (variables, batch),
+        lambda out: out["estimated_transform"][0, 0],
+        iters=iters,
+    )
+
+
+def _train_ms(model, cfg, batch, tx):
+    """Honest chained-state train-step time: the state MUST thread through
+    chained steps — fetching only the loss of one step lets XLA dead-code-
+    eliminate the backward + optimizer (measured 28 ms for a real 110 ms
+    step)."""
+    from geotransformer_tpu.parallel.train import init_train_state, make_train_step
+
+    state = init_train_state(model, cfg, jax.random.PRNGKey(0), batch, tx)
+    step = make_train_step(model, cfg, tx, mesh=None)
+    batch1 = jax.tree.map(lambda x: x[None], batch)
+    rng = jax.random.PRNGKey(1)
+
+    @jax.jit
+    def chain(n, s, b, r):
+        def body(i, carry):
+            s_i, _ = carry
+            s_n, aux = step(s_i, b, jax.random.fold_in(r, i))
+            return (s_n, aux["loss"])
+        return jax.lax.fori_loop(0, n, body, (s, jnp.float32(0)))[1]
+
+    float(chain(jnp.int32(1), state, batch1, rng))  # compile + sync
+
+    def fetch(n):
+        best = float("inf")
+        for _ in range(3):
+            t0 = time.time()
+            float(chain(jnp.int32(n), state, batch1, rng))
+            best = min(best, time.time() - t0)
+        return best
+
+    return (fetch(5) - fetch(1)) / 4.0 * 1e3
+
+
+def _kitti_like_pair(seed=0, n_rays=120000):
+    """Synthetic LiDAR-like scan pair at KITTI scale (~30k pts after the
+    dataset's 0.3 m voxel downsample; ground disk + structured returns so
+    the pyramid shrinks like real scans)."""
+    from geotransformer_tpu.preprocess.voxel import grid_subsample_single
+
+    rng = np.random.default_rng(seed)
+
+    def scan(rot=0.0):
+        az = rng.uniform(0, 2 * np.pi, n_rays)
+        elev = np.deg2rad(rng.uniform(-24.0, 2.0, n_rays))
+        d = rng.uniform(3.0, 70.0, n_rays)
+        # ground intersection clamps downward rays (sensor 1.7 m up)
+        down = np.sin(elev) < -1e-3
+        d_ground = np.where(down, 1.7 / np.maximum(-np.sin(elev), 1e-3), np.inf)
+        d = np.minimum(d, d_ground)
+        # sprinkle vertical structure (walls/posts) at random azimuth bands
+        wall = rng.uniform(0, 1, n_rays) < 0.25
+        d = np.where(wall, rng.uniform(5.0, 40.0, n_rays), d)
+        x = d * np.cos(elev) * np.cos(az + rot)
+        y = d * np.cos(elev) * np.sin(az + rot)
+        z = d * np.sin(elev) + 1.7
+        pts = np.column_stack([x, y, z]).astype(np.float32)
+        pts += rng.normal(0, 0.02, pts.shape).astype(np.float32)
+        return grid_subsample_single(pts, 0.3)
+
+    ref = scan()
+    src = scan(rot=0.12)
+    limit = 30000
+    if len(ref) > limit:
+        ref = ref[rng.permutation(len(ref))[:limit]]
+    if len(src) > limit:
+        src = src[rng.permutation(len(src))[:limit]]
+    return ref.astype(np.float32), src.astype(np.float32)
 
 
 def main():
-    from geotransformer_tpu.configs import make_3dmatch_config
-    from geotransformer_tpu.preprocess import build_pyramid, pad_registration_batch, caps_for_pyramid
-    from geotransformer_tpu.models import create_model
+    from geotransformer_tpu.configs import make_3dmatch_config, make_kitti_config
+    from geotransformer_tpu.preprocess import (
+        build_pyramid, pad_registration_batch, caps_for_pyramid, pad_stage0,
+    )
+    from geotransformer_tpu.preprocess.device import build_pyramid_device
+    from geotransformer_tpu.models import create_model, precompute_gt_targets
+    from geotransformer_tpu.parallel.train import make_optimizer
+    from geotransformer_tpu.utils.timing import trace_ms
 
     ref_points = np.load("/root/reference/data/demo/ref.npy").astype(np.float32)
     src_points = np.load("/root/reference/data/demo/src.npy").astype(np.float32)
@@ -61,66 +163,122 @@ def main():
 
     # Timing methodology: this TPU is reached through an async relay where
     # block_until_ready does not synchronize with device execution and every
-    # host fetch carries ~30ms of jittery RPC. The steady-state number is
-    # therefore read from a jax.profiler device trace (device-side executable
-    # duration averaged over iterations), which is immune to host jitter; see
-    # geotransformer_tpu/utils/timing.py.
-    from geotransformer_tpu.utils.timing import trace_ms
-
-    ms = trace_ms(
-        lambda v, b: model.apply(v, b, training=False, with_gt=False),
-        (variables, batch),
-        lambda out: out["estimated_transform"][0, 0],
-        iters=6,
-    )
+    # host fetch carries ~30ms of jittery RPC. Steady-state numbers are
+    # therefore read from jax.profiler device traces (trace_ms) or the
+    # fetch-difference method; see geotransformer_tpu/utils/timing.py.
+    ms = _forward_ms(model, variables, batch)
     pairs_per_sec = 1000.0 / ms
 
-    # Secondary metric (extra keys on the same line): full training step
-    # (forward + backward + Adam) on the same pair.
-    from geotransformer_tpu.parallel.train import (
-        init_train_state, make_optimizer, make_train_step,
-    )
+    extras = {}
 
+    # -- production train step: inverse tables + host-precomputed targets --
     tx = make_optimizer(cfg, steps_per_epoch=10, world_size=1)
-    # training batches carry inverse neighbor tables (scatter-free backward)
     train_batch = jax.tree.map(jnp.asarray, pad_registration_batch(
         pyramid, feats, np.eye(4, dtype=np.float32), caps,
         inverse_limits=cfg.caps.inverse_limits))
-    state = init_train_state(model, cfg, jax.random.PRNGKey(0), train_batch, tx)
-    step = make_train_step(model, cfg, tx, mesh=None)
-    batch1 = jax.tree.map(lambda x: x[None], train_batch)
-    rng = jax.random.PRNGKey(1)
+    targets = jax.jit(lambda b: precompute_gt_targets(cfg, b, use_pallas=True))(
+        train_batch)
+    train_batch_pre = dict(train_batch, **jax.tree.map(lambda x: x, targets))
+    train_ms = _train_ms(model, cfg, train_batch_pre, tx)
+    extras["train_step_ms"] = round(train_ms, 2)
+    extras["train_pairs_per_sec"] = round(1000.0 / train_ms, 2)
+    try:
+        extras["train_step_in_graph_targets_ms"] = round(
+            _train_ms(model, cfg, train_batch, tx), 2)
+    except Exception:
+        pass
 
-    # The state MUST thread through chained steps: timing a single step by
-    # fetching only the loss lets XLA dead-code-eliminate the backward and
-    # optimizer update (measured 28 ms vs the honest 110 ms).
-    @jax.jit
-    def chain(n, s, b, r):
-        def body(i, carry):
-            s_i, _ = carry
-            s_n, aux = step(s_i, b, jax.random.fold_in(r, i))
-            return (s_n, aux["loss"])
-        return jax.lax.fori_loop(0, n, body, (s, jnp.float32(0)))[1]
+    # -- end-to-end device-preprocess inference (build + forward, one jit) --
+    try:
+        cap0 = int(caps[0][0]) if isinstance(caps[0], (tuple, list)) else int(caps[0])
+        # device builder uses symmetric caps
+        sym_caps = tuple(
+            int(max(c)) if isinstance(c, (tuple, list)) else int(c) for c in caps
+        )
+        cfg_sym = cfg.with_caps(stage_caps=sym_caps)
+        model_sym = create_model(cfg_sym)
+        pts0, lens0, feats0 = pad_stage0(points, lengths, sym_caps[0],
+                                         cfg.backbone.input_dim)
 
-    float(chain(jnp.int32(1), state, batch1, rng))  # compile + sync
+        spec = dict(
+            num_stages=cfg.backbone.num_stages,
+            voxel_size=cfg.backbone.init_voxel_size,
+            radius=cfg.backbone.init_radius,
+            neighbor_limits=tuple(cfg.caps.neighbor_limits),
+            stage_caps=sym_caps,
+        )
 
-    def fetch(n):
-        best = float("inf")
-        for _ in range(3):
-            t0 = time.time()
-            float(chain(jnp.int32(n), state, batch1, rng))
-            best = min(best, time.time() - t0)
-        return best
+        def e2e(v, p, l, f):
+            built, overflow = build_pyramid_device(
+                p, l, f, jnp.eye(4, dtype=jnp.float32), **spec)
+            out = model_sym.apply(v, built, training=False, with_gt=False)
+            return out, overflow
 
-    train_ms = (fetch(5) - fetch(1)) / 4.0 * 1e3
+        e2e_args = (jnp.asarray(pts0), jnp.asarray(lens0), jnp.asarray(feats0))
+        sym_batch = jax.jit(lambda p, l, f: build_pyramid_device(
+            p, l, f, jnp.eye(4, dtype=jnp.float32), **spec)[0])(*e2e_args)
+        variables_sym = jax.jit(
+            lambda r, b: model_sym.init(r, b, training=False, with_gt=False)
+        )(jax.random.PRNGKey(cfg.seed), sym_batch)
+        ov = np.asarray(jax.jit(e2e)(variables_sym, *e2e_args)[1])
+        assert not ov.any(), f"device pyramid overflow in bench: {ov}"
+        e2e_ms = trace_ms(
+            lambda v, p, l, f: e2e(v, p, l, f)[0],
+            (variables_sym,) + e2e_args,
+            lambda out: out["estimated_transform"][0, 0],
+            iters=6,
+        )
+        extras["e2e_device_ms"] = round(e2e_ms, 2)
+        extras["e2e_device_pairs_per_sec"] = round(1000.0 / e2e_ms, 2)
+    except Exception as exc:  # never break the primary metric
+        extras["e2e_device_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # -- forward at dataset-calibrated (config default) capacities --
+    try:
+        cfg_cal = make_3dmatch_config()
+        cal_caps = tuple(cfg_cal.caps.stage_caps)
+        model_cal = create_model(cfg_cal)
+        batch_cal = jax.tree.map(jnp.asarray, pad_registration_batch(
+            pyramid, feats, np.eye(4, dtype=np.float32), cal_caps))
+        variables_cal = jax.jit(
+            lambda r, b: model_cal.init(r, b, training=False, with_gt=False)
+        )(jax.random.PRNGKey(cfg.seed), batch_cal)
+        cal_ms = _forward_ms(model_cal, variables_cal, batch_cal)
+        extras["calibrated_caps_pairs_per_sec"] = round(1000.0 / cal_ms, 2)
+    except Exception as exc:
+        extras["calibrated_caps_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # -- KITTI-scale forward (5-stage, hidden 128, patch 128, ~30k pts) --
+    try:
+        kcfg = make_kitti_config()
+        kref, ksrc = _kitti_like_pair()
+        kpoints = np.concatenate([kref, ksrc], 0)
+        klengths = np.asarray([len(kref), len(ksrc)])
+        kpyr = build_pyramid(
+            kpoints, klengths, kcfg.backbone.num_stages,
+            kcfg.backbone.init_voxel_size, kcfg.backbone.init_radius,
+            list(kcfg.caps.neighbor_limits),
+        )
+        kcaps = tuple(caps_for_pyramid(kpyr, multiple=256, per_cloud=True))
+        kcfg = kcfg.with_caps(stage_caps=kcaps)
+        kfeats = np.ones((kpoints.shape[0], kcfg.backbone.input_dim), np.float32)
+        kbatch = jax.tree.map(jnp.asarray, pad_registration_batch(
+            kpyr, kfeats, np.eye(4, dtype=np.float32), kcaps))
+        kmodel = create_model(kcfg)
+        kvars = jax.jit(lambda r, b: kmodel.init(r, b, training=False, with_gt=False))(
+            jax.random.PRNGKey(kcfg.seed), kbatch)
+        kms = _forward_ms(kmodel, kvars, kbatch)
+        extras["kitti_ms"] = round(kms, 2)
+        extras["kitti_pairs_per_sec"] = round(1000.0 / kms, 2)
+    except Exception as exc:
+        extras["kitti_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     print(json.dumps({
         "metric": "3dmatch_demo_pair_model_throughput",
         "value": round(pairs_per_sec, 2),
         "unit": "pairs/s",
         "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
-        "train_step_ms": round(train_ms, 2),
-        "train_pairs_per_sec": round(1000.0 / train_ms, 2),
+        **extras,
     }))
 
 

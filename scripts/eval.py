@@ -165,7 +165,16 @@ def main():
 
         accepted_rre, accepted_rte, accepted = [], [], []
         if use_3dm_protocol:
-            num_fragments = get_num_fragments(scene)
+            try:
+                num_fragments = get_num_fragments(scene)
+            except ValueError:
+                # non-official scene (e.g. the synthetic benchmark): the
+                # count is in every gt.log block header
+                from geotransformer_tpu.eval import read_log_file
+
+                num_fragments = read_log_file(
+                    osp.join(args.benchmark_root, scene, "gt.log")
+                )[0]["num_fragments"]
             gt_indices, gt_logs, gt_infos = get_gt_logs_and_infos(
                 osp.join(args.benchmark_root, scene), num_fragments
             )
