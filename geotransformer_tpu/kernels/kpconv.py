@@ -15,15 +15,30 @@ features — and performs the whole convolution in VMEM:
 
 Only the gathered block (read once) and the (M, C_out) result touch HBM.
 
-Layout: the gather input G has lanes [s_x, s_y, s_z, |s|^2, 0,0,0,0,
+Layout: the gather input G has lanes [s_hi(3), s_lo(3), posflag, 0,
 feats...] so the aug part occupies lanes [0, 8) and features [8, 8+C);
 a strided block's pool features ride the same gather after the conv
 features (the XLA gather engine cost is per ROW, so extra lanes are free,
 while a separate maxpool gather would pay the full row cost again).
 Shadow neighbors are all-zero rows: their features contribute nothing and
-the feature-sum neighbor count excludes them, exactly like the XLA path.
-(A bf16 table with hi/lo-split coordinates was measured: the gather is
-engine-row-bound, not byte-bound, so it saved nothing and cost precision.)
+the posflag neighbor count excludes them, exactly like the XLA path.
+
+Streaming cost model (measured, stage-0 shapes): both the gather and the
+kernel's read of the gathered block cost ~rows x one padded tile-row
+(512 B f32 / 256 B bf16, ~290 GB/s; LOGICAL width <= 128 is irrelevant),
+i.e. ~2.5 ms per 1.4M-row stage-0 table on each side. TABLE_DTYPE=bf16
+(with hi/lo-split coordinates so the offsets-first geometry stays
+f32-exact, and the posflag lane keeping the neighbor count exact) was
+built to halve the kernel read — MEASURED WORSE end-to-end (4.62 vs
+4.33 ms gather+kernel): H=40 is not a multiple of bf16's 16-row tile, so
+XLA inserts a relayout between the (E, W) gather output and the
+(M, H, W) kernel view that costs more than the read saves. The switch is
+kept for configs whose padded H is 16-aligned; default f32.
+
+The posflag lane is a win in its own right: the reference's neighbor
+count (#neighbors with positive feature sum, kpconv.py:113-116) is
+computed once per SUPPORT POINT in XLA and gathered, replacing a
+per-tile (TM, H, C) reduce in the kernel.
 """
 
 import functools
@@ -38,8 +53,11 @@ from geotransformer_tpu.ops.gather import gather_with_shadow
 # MXU input dtype for the influence/feature contractions (module-level so
 # drift studies / configs can flip it to f32).
 MXU_DTYPE = jnp.bfloat16
+# Storage dtype of the gathered forward tables (see module docstring:
+# bf16 measured WORSE on H=40 tables due to a 16-row-tile relayout).
+TABLE_DTYPE = jnp.float32
 
-_AUG = 8  # lanes reserved for [s(3), |s|^2(1), padding(4)]
+_AUG = 8  # lanes reserved for [s_hi(3), s_lo(3), posflag(1), padding(1)]
 
 
 def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
@@ -58,13 +76,19 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
         # the gathered block, reproducing the reference's implicit 0-clamp.
         cols = pool_cols if pool_cols is not None else g_ref.shape[1]
         pool_block = g_ref[...][:, :cols, _AUG + c_in :]
-        pool_ref[0][...] = jnp.max(pool_block, axis=1)
-    g = g_ref[...][:, :, : _AUG + c_in]  # (TM, H, AUG + C)
-    q = q_ref[...]  # (TM, AUG) — lanes [q(3), |q|^2(1), ...]
-    kp = kp_ref[...]  # (K, AUG) — lanes [kp(3), |kp|^2(1), ...]
+        pool_ref[0][...] = jnp.max(pool_block, axis=1).astype(jnp.float32)
+    g = g_ref[...][:, :, : _AUG + c_in]  # (TM, H, AUG + C) TABLE_DTYPE
+    q = q_ref[...]  # (TM, AUG) f32 — lanes [q(3), |q|^2(1), ...]
+    kp = kp_ref[...]  # (K, AUG) f32 — lanes [kp(3), |kp|^2(1), ...]
 
-    sp = g[:, :, :3]  # (TM, H, 3)
-    nf = g[:, :, _AUG : _AUG + c_in]  # (TM, H, C)
+    # hi/lo coordinate reconstruction (f32 tables store exact coords in hi
+    # and zeros in lo — skip the add there).
+    if g.dtype == jnp.float32:
+        sp = g[:, :, :3]
+    else:
+        sp = g[:, :, :3].astype(jnp.float32) + g[:, :, 3:6].astype(jnp.float32)
+    nf = g[:, :, _AUG : _AUG + c_in]  # (TM, H, C) TABLE_DTYPE
+    posflag = g[:, :, 6].astype(jnp.float32)  # (TM, H) exact 0/1
     qp = q[:, :3]  # (TM, 3)
     tm, h = sp.shape[0], sp.shape[1]
 
@@ -92,18 +116,20 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
     sq = jnp.maximum(sq, 1e-20)
     influence = jnp.maximum(1.0 - jnp.sqrt(sq) / sigma, 0.0)  # (TM, H, K)
 
-    # neighbor count from positive feature sums (reference kpconv.py:113-116)
-    feat_sum = jnp.sum(nf, axis=-1)  # (TM, H)
-    count = jnp.maximum(
-        jnp.sum((feat_sum > 0.0).astype(jnp.float32), axis=-1), 1.0
-    )  # (TM,)
+    # neighbor count from positive feature sums (reference kpconv.py:113-116);
+    # the posflag lane carries (feat_sum > 0) computed host/XLA-side in f32,
+    # so the count is exact regardless of the table dtype (and cheaper than
+    # an in-kernel (TM, H, C) reduce).
+    count = jnp.maximum(jnp.sum(posflag, axis=-1), 1.0)  # (TM,)
 
     if c_in == 1:
         # First conv (raw input features, C_in == 1): the neighbor
         # contraction collapses to weighted influence row-sums followed by
         # ONE clean (TM, K) @ (K, C_out) matmul — the batched dot over a
         # 1-lane rhs is pathologically shaped on the MXU.
-        t1 = jnp.sum(influence * nf[:, :, 0][:, :, None], axis=1)  # (TM, K)
+        t1 = jnp.sum(
+            influence * nf[:, :, 0].astype(jnp.float32)[:, :, None], axis=1
+        )  # (TM, K)
         acc = jax.lax.dot_general(
             t1.astype(MXU_DTYPE), w_ref[...][:, 0, :].astype(MXU_DTYPE),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
@@ -188,16 +214,25 @@ def kpconv_fused(
             constant_values=s_points.shape[0],
         )
 
-    # Combined gather: [s(3), |s|^2(1), pad(4), feats(C) [, pool(Cp)]].
+    # Combined gather: [s_hi(3), s_lo(3), posflag(1), pad(1), feats(C)
+    # [, pool(Cp)]] stored at TABLE_DTYPE (see module docstring).
+    td = TABLE_DTYPE
+    if td == jnp.float32:
+        hi, lo = s_points, jnp.zeros_like(s_points)
+    else:
+        hi = s_points.astype(td).astype(jnp.float32)
+        lo = s_points - hi
+    posflag = (jnp.sum(s_feats, axis=-1, keepdims=True) > 0.0).astype(
+        jnp.float32
+    )
     aug_parts = [
-        s_points,
-        jnp.sum(s_points**2, axis=-1, keepdims=True),
-        jnp.zeros((s_points.shape[0], _AUG - 4), s_points.dtype),
+        hi, lo, posflag,
+        jnp.zeros((s_points.shape[0], _AUG - 7), jnp.float32),
         s_feats,
     ]
     if pool_feats is not None:
         aug_parts.append(pool_feats)
-    aug_support = jnp.concatenate(aug_parts, axis=1)  # (N, AUG + C [+ Cp])
+    aug_support = jnp.concatenate(aug_parts, axis=1).astype(td)
     g = gather_with_shadow(aug_support, neighbor_indices, 0.0)
 
     q_aug = jnp.concatenate(
@@ -300,8 +335,12 @@ def _influence_and_count_from_gathered(g, q_points, kernel_points, sigma, c_in):
     (for the custom_vjp backward; mirrors _kpconv_kernel exactly, including
     the shadow-at-origin convention — shadow rows may get spurious influence
     but their features are zero, so every term they touch vanishes)."""
-    sp = g[:, :, :3]
-    nf = g[:, :, _AUG : _AUG + c_in]
+    if g.dtype == jnp.float32:
+        sp = g[:, :, :3]
+    else:
+        sp = g[:, :, :3].astype(jnp.float32) + g[:, :, 3:6].astype(jnp.float32)
+    nf = g[:, :, _AUG : _AUG + c_in].astype(jnp.float32)
+    posflag = g[:, :, 6].astype(jnp.float32)
     # Offsets-first, mirroring _kpconv_kernel: small-magnitude matmul
     # operands keep TPU-default bf16 matmul error negligible (bf16 dots on
     # absolute coordinates measured ~12% trained-feature drift).
@@ -312,8 +351,7 @@ def _influence_and_count_from_gathered(g, q_points, kernel_points, sigma, c_in):
         + jnp.sum(kernel_points**2, axis=-1)[None, None, :]
     )
     influence = jnp.maximum(1.0 - jnp.sqrt(jnp.maximum(sq, 1e-20)) / sigma, 0.0)
-    feat_sum = jnp.sum(nf, axis=-1)
-    count = jnp.maximum(jnp.sum((feat_sum > 0.0).astype(jnp.float32), -1), 1.0)
+    count = jnp.maximum(jnp.sum(posflag, -1), 1.0)
     return influence, nf, count
 
 
@@ -582,6 +620,10 @@ def kpconv_bwd_fused(
     pad_n = num_tiles * tile_n
     sf = s_feats
     pf = pool_feats
+    if pf is not None and TABLE_DTYPE != jnp.float32:
+        # the forward pooled values were rounded through the gathered-table
+        # dtype; round our own copy identically so the tie-equality holds
+        pf = pf.astype(TABLE_DTYPE).astype(jnp.float32)
     if pad_n != n:
         qg = jnp.pad(qg, ((0, pad_n - n), (0, 0), (0, 0)))
         s_aug = jnp.pad(s_aug, ((0, pad_n - n), (0, 0)))

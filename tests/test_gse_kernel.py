@@ -63,10 +63,14 @@ class TestGSEGradients:
                 scale = np.abs(a).max() + 1e-8
                 # atol 5e-2: the angle branch max is computed from bf16
                 # bases, so near-ties can route a cotangent to a different k
-                # than the f32 XLA max — a subgradient choice, ~1% of slots.
-                np.testing.assert_allclose(
-                    b / scale, a / scale, atol=5e-2,
-                    err_msg=f"{name}/{leaf}",
+                # than the f32 XLA max — a subgradient choice. Tie-routed
+                # slots move by O(cotangent), so allow a small fraction of
+                # outliers instead of loosening the bulk tolerance.
+                rel = np.abs(b - a) / scale
+                frac_out = (rel > 5e-2).mean()
+                assert frac_out <= 0.005, (
+                    f"{name}/{leaf}: {frac_out:.4f} of grads off by >5% "
+                    f"(max rel {rel.max():.3f})"
                 )
 
 
