@@ -12,16 +12,23 @@ extensions on the TPU itself:
     exactly, so parity is row-for-row, not just set-wise;
   * fixed-K radius neighbors
     (`/root/reference/geotransformer/extensions/cpu/radius_neighbors/radius_neighbors_cpu.cpp:29-87`)
-    becomes a query-blocked brute-force distance + exact
-    ``approx_max_k(recall_target=1.0)`` top-K, tiled so only
-    ``(block, C_s)`` distance tiles ever materialize.
+    becomes a query-blocked brute-force distance + exact chunked two-stage
+    top-K (chunk-local ``lax.top_k`` then a merge over chunk winners),
+    tiled so only ``(block, C_s)`` distance tiles ever materialize.
 
 Everything is fixed-capacity: clouds live in per-cloud capacity-``C``
 buffers with the sentinel/padding idiom of ``pad_registration_batch``
 (PAD_COORD rows, sentinel index ``2C``), so the full pyramid build jits
 once per capacity signature and runs inside the device step — no host
-preprocessing, no host->device index tables, ~2 orders of magnitude faster
-than the 135 ms/core host build.
+preprocessing and no host->device index tables.
+
+HONEST COST (demo pair, sym caps (19200, 5376, 1536, 512), all outputs
+live): ~445 ms on a v5e chip, dominated by the exact KNN sorts — brute
+force is O(N^2) where the host grid build is O(N), so the device build
+only beats the 135 ms/core host path when host cores are the bottleneck.
+An earlier "~1.3 ms" claim was a DCE-corrupted measurement (fetching one
+scalar let XLA eliminate the whole build — the same trap bench.py
+documents for train steps; always reduce over EVERY output when timing).
 
 Capacity overflows (more occupied voxels than a stage cap) cannot raise
 under jit; :func:`build_pyramid_device` returns a per-stage boolean
@@ -132,7 +139,28 @@ def _radius_search_cloud(q_points, n_q, s_points, n_s, radius, k, block=512):
                 precision=jax.lax.Precision.HIGHEST)
             + s_sq[None, :]
         )
-        neg_d2, idx = jax.lax.approx_max_k(-d2, k_eff, recall_target=1.0)
+        # Exact top-k via chunked two-stage selection. approx_max_k with
+        # recall_target=1.0 lowers to a FULL (block, cap_s) sort — measured
+        # 744 ms for the demo pair's stage-0 search alone (19.6 ms per
+        # 512-query block). Chunk-local exact top-k + a merge over the
+        # chunk winners is exact (any global top-k member is a top-k member
+        # of its chunk) and ~5x faster. Tie order matches the full sort:
+        # lax.top_k is stable, and the merge sees candidates in ascending
+        # global-index order.
+        neg = -d2
+        chunk = 512
+        cap_pad = round_up(cap_s, chunk)
+        if cap_pad != cap_s:
+            neg = jnp.pad(neg, ((0, 0), (0, cap_pad - cap_s)),
+                          constant_values=-jnp.inf)
+        nch = cap_pad // chunk
+        kc = min(k_eff, chunk)
+        v1, i1 = jax.lax.top_k(neg.reshape(-1, nch, chunk), kc)
+        iglob = (
+            i1 + (jnp.arange(nch, dtype=jnp.int32) * chunk)[None, :, None]
+        ).reshape(-1, nch * kc)
+        neg_d2, sel = jax.lax.top_k(v1.reshape(-1, nch * kc), k_eff)
+        idx = jnp.take_along_axis(iglob, sel, axis=1)
         found = jnp.where(-neg_d2 <= r2, idx.astype(jnp.int32), sentinel)
         if k_eff < k:
             found = jnp.pad(found, ((0, 0), (0, k - k_eff)),

@@ -74,9 +74,13 @@ def load_batch_device(cfg, ref_file, src_file, gt_file):
         raise ValueError(f"stage capacity overflow: {overflow}")
 
     from geotransformer_tpu.utils.timing import trace_ms
+    # Reduce over EVERY output: fetching only one leaf lets XLA dead-code-
+    # eliminate all the KNN searches (this exact bug once reported the
+    # ~445 ms build as "1.3 ms").
     ms = trace_ms(
         lambda *a: build(*a)[0], args,
-        reduce_out=lambda b: jnp.sum(b["points"][-1]))
+        reduce_out=lambda b: sum(
+            jnp.sum(leaf.astype(jnp.float32)) for leaf in jax.tree.leaves(b)))
     print(f"  device pyramid build: {ms:.2f} ms "
           f"(host path: ~135 ms/core)")
     return batch, caps, transform
