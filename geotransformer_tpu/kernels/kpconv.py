@@ -62,7 +62,8 @@ _AUG = 8  # lanes reserved for [s_hi(3), s_lo(3), posflag(1), padding(1)]
 
 def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
                    num_kernel_points, c_in, sigma, pool_cols=None,
-                   has_pool=False, has_count=False, has_t1=False):
+                   has_pool=False, has_count=False, has_t1=False,
+                   normalize=True):
     k = num_kernel_points
     extras = list(extras)
     pool_ref = [extras.pop(0)] if has_pool else []
@@ -119,8 +120,12 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
     # neighbor count from positive feature sums (reference kpconv.py:113-116);
     # the posflag lane carries (feat_sum > 0) computed host/XLA-side in f32,
     # so the count is exact regardless of the table dtype (and cheaper than
-    # an in-kernel (TM, H, C) reduce).
-    count = jnp.maximum(jnp.sum(posflag, axis=-1), 1.0)  # (TM,)
+    # an in-kernel (TM, H, C) reduce). Unnormalized (split) passes emit the
+    # RAW count: the split combine clamps once after summing both passes —
+    # a per-pass clamp would inflate the denominator whenever one pass has
+    # zero positive-flag neighbors.
+    count_raw = jnp.sum(posflag, axis=-1)  # (TM,)
+    count = jnp.maximum(count_raw, 1.0) if normalize else count_raw
 
     if c_in == 1:
         # First conv (raw input features, C_in == 1): the neighbor
@@ -134,7 +139,7 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
             t1.astype(MXU_DTYPE), w_ref[...][:, 0, :].astype(MXU_DTYPE),
             (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
         )
-        out_ref[...] = acc / count[:, None]
+        out_ref[...] = acc / count[:, None] if normalize else acc
         if count_ref is not None:
             count_ref[...] = jnp.broadcast_to(count[:, None], count_ref.shape)
         if t1_ref is not None:
@@ -158,7 +163,7 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
             t[:, kk, :], w_ref[kk], (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-    out_ref[...] = acc / count[:, None]
+    out_ref[...] = acc / count[:, None] if normalize else acc
     if count_ref is not None:
         count_ref[...] = jnp.broadcast_to(count[:, None], count_ref.shape)
 
@@ -167,6 +172,7 @@ def kpconv_fused(
     s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
     sigma, bias=None, tile_m=128, interpret=None, return_gathered=False,
     pool_feats=None, pool_cols=None, return_count=False, return_t1=False,
+    normalize=True,
 ):
     """Fused KPConv forward.
 
@@ -263,9 +269,10 @@ def kpconv_fused(
     kernel = functools.partial(
         _kpconv_kernel, num_kernel_points=k, c_in=c_in, sigma=float(sigma),
         pool_cols=pool_cols, has_pool=pool_feats is not None,
-        has_count=return_count, has_t1=return_t1,
+        has_count=return_count, has_t1=return_t1, normalize=normalize,
     )
     assert not (return_t1 and c_in != 1)
+    assert normalize or bias is None, "unnormalized output cannot carry bias"
     out_specs = [pl.BlockSpec(
         (tile_m, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM
     )]
@@ -1045,3 +1052,351 @@ def _kpconv_union_input_bwd(sigma, tile_m, res, dout):
 
 kpconv_union_input_fused_diff.defvjp(
     _kpconv_union_input_fwd, _kpconv_union_input_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Neighbor-table column split ("deep-column compaction").
+#
+# Both the XLA gather and the kernel's read of the gathered block cost
+# ~rows x one padded tile-row (see module docstring), and neighbor tables
+# carry large shadow fractions under the calibrated limits (measured on the
+# bench pairs: 23-31% valid at KITTI stage 0 — the table is 69-77% padding;
+# ~74% valid on 3DMatch). Splitting each table into a HEAD (first H1
+# distance-sorted columns, all queries) and a compacted TAIL (columns
+# [H1:], only the M2 queries with more than H1 valid neighbors) cuts
+# gathered rows to M*H1 + M2*(H-H1) with NO semantic change: the head/tail
+# union is exactly the original neighbor set, the two partial convolutions
+# accumulate, and one (M, C+1[+Cp]) combine-gather (rank -> tail row,
+# sentinel -> zero row) reassembles outputs, counts, and pooled features.
+# M2 and H1 are static calibrated capacities with the same overflow
+# contract as every other cap (preprocess.pyramid.build_split_tables).
+# ---------------------------------------------------------------------------
+
+
+def kpconv_split_fused(
+    s_feats, q_points, s_points, head_table, tail_table, tail_q, tail_rank,
+    kernel_points, weights, sigma, bias=None, tile_m=128,
+    pool_feats=None, pool_cols=None, return_t1=False, return_gathered=False,
+    interpret=None,
+):
+    """Split-table fused KPConv forward.
+
+    Args:
+        head_table: (M, H1) first columns for every query.
+        tail_table: (M2, H - H1) remaining columns, deep queries only,
+            ascending query order; padding rows are all-sentinel.
+        tail_q: (M2,) int32 query row per tail row (0 for padding rows —
+            harmless, their table rows are all-sentinel).
+        tail_rank: (M,) int32 query row -> tail row, sentinel M2.
+        (rest as kpconv_fused.)
+
+    Returns (out [, pooled] [, t1] [, counts] [, g1, nb1, g2, nb2]):
+        counts is always returned (total valid-neighbor count, the
+        normalization denominator — backward residual).
+    """
+    m = q_points.shape[0]
+    m2 = tail_table.shape[0]
+    k, c_in, c_out = weights.shape
+    c_pool = 0 if pool_feats is None else pool_feats.shape[1]
+    h1 = head_table.shape[1]
+    # a head covering the whole true pool width would make the combine's
+    # zero-fill max() clamp full rows the reference never clamps
+    assert pool_cols is None or h1 < pool_cols, (h1, pool_cols)
+
+    head = kpconv_fused(
+        s_feats, q_points, s_points, head_table, kernel_points, weights,
+        sigma, bias=None, tile_m=tile_m, normalize=False, return_count=True,
+        return_t1=return_t1, return_gathered=return_gathered,
+        pool_feats=pool_feats,
+        pool_cols=min(pool_cols, h1) if pool_cols is not None else None,
+        interpret=interpret,
+    )
+    q_tail = q_points[tail_q]
+    pool_cols_tail = None
+    if pool_cols is not None:
+        pool_cols_tail = max(pool_cols - h1, 1)
+    tail = kpconv_fused(
+        s_feats, q_tail, s_points, tail_table, kernel_points, weights,
+        sigma, bias=None, tile_m=tile_m, normalize=False, return_count=True,
+        return_t1=return_t1, return_gathered=return_gathered,
+        pool_feats=pool_feats, pool_cols=pool_cols_tail,
+        interpret=interpret,
+    )
+
+    def unpack(res):
+        res = list(res)
+        out = {"acc": res.pop(0)}
+        if pool_feats is not None:
+            out["pooled"] = res.pop(0)
+        out["count"] = res.pop(0)
+        if return_t1:
+            out["t1"] = res.pop(0)
+        if return_gathered:
+            out["g"] = res.pop(0)
+            out["nb"] = res.pop(0)
+        return out
+
+    h = unpack(head)
+    t = unpack(tail)
+
+    # One combine-gather: pack every tail quantity into (M2, W) lanes, add a
+    # zero row for the sentinel rank, gather by rank.
+    parts = [t["acc"], t["count"][:, None]]
+    if pool_feats is not None:
+        parts.append(t["pooled"])
+    if return_t1:
+        parts.append(t["t1"])
+    pack = jnp.concatenate(parts, axis=1)
+    pack = jnp.concatenate([pack, jnp.zeros((1, pack.shape[1]), pack.dtype)], 0)
+    comb = pack[tail_rank]  # (M, W)
+
+    count = jnp.maximum(h["count"] + comb[:, c_out], 1.0)
+    ofs = c_out + 1
+    t1_comb = None
+    if return_t1:
+        t1_comb = h["t1"] + comb[:, ofs + c_pool:ofs + c_pool + k]
+    if t1_comb is not None and c_in == 1:
+        # Input layer: the full-table kernel rounds t1 to bf16 ONCE before
+        # the weight matmul; summing two separately-rounded partial accs
+        # would differ at bf16 eps. Redo the (M, K) @ (K, C) matmul on the
+        # exact combined f32 t1 — bit-identical to the unsplit kernel.
+        acc = jax.lax.dot_general(
+            t1_comb.astype(MXU_DTYPE), weights[:, 0, :].astype(MXU_DTYPE),
+            (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+        )
+    else:
+        acc = h["acc"] + comb[:, :c_out]
+    out = acc / count[:, None]
+    if bias is not None:
+        out = out + bias
+    results = (out,)
+    if pool_feats is not None:
+        # shadow semantics: missing tail rows behave as the zero shadow row
+        results += (jnp.maximum(h["pooled"], comb[:, ofs:ofs + c_pool]),)
+        ofs += c_pool
+    if return_t1:
+        results += (t1_comb,)
+    results += (count,)
+    if return_gathered:
+        results += (h["g"], h["nb"], t["g"], t["nb"])
+    return results
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(10, 12))
+def kpconv_split_diff(s_feats, q_points, s_points, head_table, tail_table,
+                      tail_q, tail_rank, inverse_table, kernel_points,
+                      weights, sigma, bias, tile_m):
+    """Differentiable split-table fused KPConv.
+
+    With `inverse_table` the backward is the scatter-free inverse-table
+    kernel (kpconv_bwd_fused, which covers ALL edges regardless of the
+    split); without it, a two-block gathered-residual scatter backward.
+    """
+    out, _ = kpconv_split_fused(
+        s_feats, q_points, s_points, head_table, tail_table, tail_q,
+        tail_rank, kernel_points, weights, sigma, bias=bias, tile_m=tile_m,
+    )
+    return out
+
+
+def _kpconv_split_fwd(s_feats, q_points, s_points, head_table, tail_table,
+                      tail_q, tail_rank, inverse_table, kernel_points,
+                      weights, sigma, bias, tile_m):
+    keep_blocks = inverse_table is None
+    res_f = kpconv_split_fused(
+        s_feats, q_points, s_points, head_table, tail_table, tail_q,
+        tail_rank, kernel_points, weights, sigma, bias=bias, tile_m=tile_m,
+        return_gathered=keep_blocks,
+    )
+    out, counts = res_f[0], res_f[1]
+    blocks = res_f[2:] if keep_blocks else None
+    res = (s_feats, q_points, s_points, counts, tail_q, inverse_table,
+           kernel_points, weights, bias is not None, blocks)
+    return out, res
+
+
+def _split_blocks_bwd(blocks, q_points, tail_q, kernel_points, weights,
+                      sigma, n, gdiv):
+    """Two-block gathered-residual backward (no inverse table)."""
+    g1, nb1, g2, nb2 = blocks
+    c_in = weights.shape[1]
+    d_w = jnp.zeros_like(weights)
+    d_sf = jnp.zeros((n + 1, c_in), gdiv.dtype)
+    for g, nb, qp, gd in (
+        (g1, nb1, q_points, gdiv),
+        (g2, nb2, q_points[tail_q], gdiv[tail_q]),
+    ):
+        influence, nf, _ = _influence_and_count_from_gathered(
+            g, qp, kernel_points, sigma, c_in)
+        t = jnp.einsum("mhk,mhc->mkc", influence, nf)
+        d_w = d_w + jnp.einsum("mkc,md->kcd", t, gd)
+        d_nf = jnp.einsum(
+            "mhk,mkc->mhc", influence,
+            jnp.einsum("kcd,md->mkc", weights, gd))
+        d_sf = d_sf.at[nb].add(d_nf)
+    return d_sf[:n], d_w
+
+
+def _kpconv_split_bwd(sigma, tile_m, res, dout):
+    (s_feats, q_points, s_points, counts, tail_q, inverse_table,
+     kernel_points, weights, has_bias, blocks) = res
+    gdiv = dout / counts[:, None]
+    if inverse_table is not None:
+        d_s_feats, d_weights = kpconv_bwd_fused(
+            s_feats, s_points, q_points, gdiv, inverse_table, kernel_points,
+            weights, sigma,
+        )
+    else:
+        d_s_feats, d_weights = _split_blocks_bwd(
+            blocks, q_points, tail_q, kernel_points, weights, sigma,
+            s_feats.shape[0], gdiv)
+    d_bias = jnp.sum(dout, axis=0) if has_bias else None
+    return (d_s_feats, None, None, None, None, None, None, None, None,
+            d_weights, d_bias)
+
+
+kpconv_split_diff.defvjp(_kpconv_split_fwd, _kpconv_split_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(11, 13, 14))
+def kpconv_split_pool_diff(s_feats, pool_feats, q_points, s_points,
+                           head_table, tail_table, tail_q, tail_rank,
+                           inverse_table, kernel_points, weights, sigma,
+                           bias, tile_m, pool_cols):
+    """Differentiable split-table fused KPConv + strided-shortcut maxpool."""
+    out, pooled, _ = kpconv_split_fused(
+        s_feats, q_points, s_points, head_table, tail_table, tail_q,
+        tail_rank, kernel_points, weights, sigma, bias=bias, tile_m=tile_m,
+        pool_feats=pool_feats, pool_cols=pool_cols,
+    )
+    return out, pooled
+
+
+def _split_pool_ties(blocks, pooled, tail_q, tail_rank, c_in, pool_cols, h1):
+    """Tie counts for the maxpool backward, summed over both blocks."""
+    g1, _, g2, _ = blocks
+    cols1 = min(pool_cols, h1)
+    cols2 = max(pool_cols - h1, 1)
+    pb1 = g1[:, :cols1, _AUG + c_in:]
+    ties = jnp.sum((pb1 == pooled[:, None, :]).astype(jnp.float32), axis=1)
+    # tail rows compare against THEIR query's pooled value, then the
+    # per-query tie count comes back through the rank gather (sentinel ->
+    # appended zero row). Padding tail rows (tail_q == 0, all-shadow block
+    # rows) may count spurious ties against query 0 but are never gathered.
+    pb2 = g2[:, :cols2, _AUG + c_in:]
+    ties2_rows = jnp.sum(
+        (pb2 == pooled[tail_q][:, None, :]).astype(jnp.float32), axis=1)
+    ties2_rows = jnp.concatenate(
+        [ties2_rows, jnp.zeros((1, ties2_rows.shape[1]), jnp.float32)], 0)
+    ties2 = ties2_rows[tail_rank]
+    return jnp.maximum(ties + ties2, 1.0)
+
+
+def _kpconv_split_pool_fwd(s_feats, pool_feats, q_points, s_points,
+                           head_table, tail_table, tail_q, tail_rank,
+                           inverse_table, kernel_points, weights, sigma,
+                           bias, tile_m, pool_cols):
+    res_f = kpconv_split_fused(
+        s_feats, q_points, s_points, head_table, tail_table, tail_q,
+        tail_rank, kernel_points, weights, sigma, bias=bias, tile_m=tile_m,
+        pool_feats=pool_feats, pool_cols=pool_cols, return_gathered=True,
+    )
+    out, pooled, counts = res_f[0], res_f[1], res_f[2]
+    blocks = res_f[3:]
+    c_in = weights.shape[1]
+    h1 = head_table.shape[1]
+    ties = _split_pool_ties(
+        blocks, pooled, tail_q, tail_rank, c_in, pool_cols, h1)
+    keep_blocks = blocks if inverse_table is None else None
+    res = (s_feats, pool_feats, q_points, s_points, counts, tail_q,
+           tail_rank, inverse_table, kernel_points, weights, bias is not None,
+           pooled, ties, keep_blocks, h1)
+    return (out, pooled), res
+
+
+def _kpconv_split_pool_bwd(sigma, tile_m, pool_cols, res, cotangents):
+    dout, dpool = cotangents
+    (s_feats, pool_feats, q_points, s_points, counts, tail_q, tail_rank,
+     inverse_table, kernel_points, weights, has_bias, pooled, ties, blocks,
+     h1) = res
+    gdiv = dout / counts[:, None]
+    if inverse_table is not None:
+        d_s_feats, d_weights, d_pool_feats = kpconv_bwd_fused(
+            s_feats, s_points, q_points, gdiv, inverse_table, kernel_points,
+            weights, sigma,
+            pool_feats=pool_feats, pooled=pooled,
+            dpool_over_ties=dpool / ties,
+        )
+    else:
+        d_s_feats, d_weights = _split_blocks_bwd(
+            blocks, q_points, tail_q, kernel_points, weights, sigma,
+            s_feats.shape[0], gdiv)
+        # maxpool backward over both blocks, even tie split (XLA semantics)
+        g1, nb1, g2, nb2 = blocks
+        c_in = weights.shape[1]
+        n = s_feats.shape[0]
+        dpr = dpool / ties
+        cols1 = min(pool_cols, h1)
+        pb1 = g1[:, :cols1, _AUG + c_in:]
+        rows1 = (pb1 == pooled[:, None, :]).astype(dpr.dtype) * dpr[:, None, :]
+        d_pool_feats = (
+            jnp.zeros((n + 1, pb1.shape[2]), dpr.dtype)
+            .at[nb1[:, :cols1]].add(rows1)[:n]
+        )
+        cols2 = max(pool_cols - h1, 1)
+        pb2 = g2[:, :cols2, _AUG + c_in:]
+        # per-tail-row query quantities (padding tail rows index query 0,
+        # but their all-shadow block rows scatter onto the dropped shadow
+        # row, so any spurious match contributes nothing)
+        pooled2 = pooled[tail_q]
+        dpr2 = dpr[tail_q]
+        rows2 = (pb2 == pooled2[:, None, :]).astype(dpr.dtype) * dpr2[:, None, :]
+        d_pool_feats = d_pool_feats + (
+            jnp.zeros((n + 1, pb2.shape[2]), dpr.dtype)
+            .at[nb2[:, :cols2]].add(rows2)[:n]
+        )
+    d_bias = jnp.sum(dout, axis=0) if has_bias else None
+    return (d_s_feats, d_pool_feats, None, None, None, None, None, None,
+            None, None, d_weights, d_bias)
+
+
+kpconv_split_pool_diff.defvjp(_kpconv_split_pool_fwd, _kpconv_split_pool_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(9, 11))
+def kpconv_split_input_diff(s_feats, q_points, s_points, head_table,
+                            tail_table, tail_q, tail_rank, kernel_points,
+                            weights, sigma, bias, tile_m):
+    """Split-table input-layer fused KPConv (c_in == 1; t1-residual
+    backward, zero feature gradients — see kpconv_input_fused_diff)."""
+    out, _, _ = kpconv_split_fused(
+        s_feats, q_points, s_points, head_table, tail_table, tail_q,
+        tail_rank, kernel_points, weights, sigma, bias=bias, tile_m=tile_m,
+        return_t1=True,
+    )
+    return out
+
+
+def _kpconv_split_input_fwd(s_feats, q_points, s_points, head_table,
+                            tail_table, tail_q, tail_rank, kernel_points,
+                            weights, sigma, bias, tile_m):
+    out, t1, counts = kpconv_split_fused(
+        s_feats, q_points, s_points, head_table, tail_table, tail_q,
+        tail_rank, kernel_points, weights, sigma, bias=bias, tile_m=tile_m,
+        return_t1=True,
+    )
+    return out, (t1, counts, s_feats.shape, bias is not None)
+
+
+def _kpconv_split_input_bwd(sigma, tile_m, res, dout):
+    t1, counts, sf_shape, has_bias = res
+    gdiv = dout / counts[:, None]
+    d_weights = jax.lax.dot_general(
+        t1, gdiv, (((0,), (0,)), ((), ())),
+    )[:, None, :]
+    d_bias = jnp.sum(dout, axis=0) if has_bias else None
+    return (jnp.zeros(sf_shape, dout.dtype), None, None, None, None, None,
+            None, None, d_weights, d_bias)
+
+
+kpconv_split_input_diff.defvjp(_kpconv_split_input_fwd, _kpconv_split_input_bwd)

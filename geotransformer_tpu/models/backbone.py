@@ -63,6 +63,10 @@ class KPConvFPN(nn.Module):
         # host-built inverse tables (training batches): scatter-free backward
         nb_inv = batch.get("neighbors_inv", [None] * self.num_stages)
         sub_inv = batch.get("subsampling_inv", [None] * self.num_stages)
+        # split tables (deep-column compaction): fewer gathered rows where
+        # the calibrated neighbor limit far exceeds the typical valid count
+        nb_split = batch.get("neighbors_split", [None] * self.num_stages)
+        sub_split = batch.get("subsampling_split", [None] * self.num_stages)
         d = self.init_dim
         k = self.kernel_size
 
@@ -83,12 +87,13 @@ class KPConvFPN(nn.Module):
                     use_pallas=self.use_pallas,
                     input_layer=self.input_dim == 1, name="encoder1_1",
                 )(x, points[0], points[0], neighbors[0], masks[0],
-                  union_tables=union0)
+                  union_tables=union0,
+                  split_tables=None if union0 is not None else nb_split[0])
                 x = ResidualBlock(
                     d, 2 * d, k, radius, sigma, self.group_norm,
                     use_pallas=self.use_pallas, name="encoder1_2",
                 )(x, points[0], points[0], neighbors[0], masks[0], masks[0],
-                  inverse_table=nb_inv[0])
+                  inverse_table=nb_inv[0], split_tables=nb_split[0])
             else:
                 pool_cols = (
                     self.neighbor_limits[i - 1] if self.neighbor_limits else None
@@ -99,17 +104,17 @@ class KPConvFPN(nn.Module):
                     pool_cols=pool_cols,
                     name=f"encoder{i + 1}_1",
                 )(x, points[i], points[i - 1], subsampling[i - 1], masks[i], masks[i - 1],
-                  inverse_table=sub_inv[i - 1])
+                  inverse_table=sub_inv[i - 1], split_tables=sub_split[i - 1])
                 x = ResidualBlock(
                     cdim, 2 * cdim, k, radius, sigma, self.group_norm,
                     use_pallas=self.use_pallas, name=f"encoder{i + 1}_2",
                 )(x, points[i], points[i], neighbors[i], masks[i], masks[i],
-                  inverse_table=nb_inv[i])
+                  inverse_table=nb_inv[i], split_tables=nb_split[i])
                 x = ResidualBlock(
                     2 * cdim, 2 * cdim, k, radius, sigma, self.group_norm,
                     use_pallas=self.use_pallas, name=f"encoder{i + 1}_3",
                 )(x, points[i], points[i], neighbors[i], masks[i], masks[i],
-                  inverse_table=nb_inv[i])
+                  inverse_table=nb_inv[i], split_tables=nb_split[i])
             stage_feats.append(x)  # stage i feats: (N_i, 2^{i+1} d)
 
         feats_list = [stage_feats[-1]]

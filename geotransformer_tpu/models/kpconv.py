@@ -47,7 +47,7 @@ class KPConv(nn.Module):
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices,
                  pool_feats=None, pool_cols=None, inverse_table=None,
-                 union_tables=None):
+                 union_tables=None, split_tables=None):
         """KPConv forward.
 
         Args:
@@ -66,6 +66,12 @@ class KPConv(nn.Module):
                 build_union_tables — input-layer convs gather per-tile
                 neighbor UNIONS (~3x fewer gather rows) instead of
                 per-edge rows; requires input_layer and c_in == 1.
+            split_tables: optional (tail_table, tail_q, tail_rank) triple
+                from preprocess.pyramid.build_split_tables — the conv then
+                gathers the first H1 distance-sorted columns for every
+                query plus a compacted tail for deep queries only,
+                cutting gathered rows by the table's shadow fraction
+                (kernels/kpconv.py split section). Exact, same outputs.
 
         Returns:
             (M, C_out) features, or (features, pooled) with pool_feats.
@@ -102,6 +108,33 @@ class KPConv(nn.Module):
                 tile_m = 64
             else:
                 tile_m = 32
+            if split_tables is not None:
+                from geotransformer_tpu.kernels.kpconv import (
+                    kpconv_split_diff,
+                    kpconv_split_input_diff,
+                    kpconv_split_pool_diff,
+                )
+
+                tail, tail_q, rank = split_tables
+                h1 = neighbor_indices.shape[1] - tail.shape[1]
+                head = neighbor_indices[:, :h1]
+                if pool_feats is not None:
+                    return kpconv_split_pool_diff(
+                        s_feats, pool_feats, q_points, s_points, head, tail,
+                        tail_q, rank, inverse_table, kernel_points, weights,
+                        self.sigma, bias, tile_m, pool_cols,
+                    )
+                if self.input_layer and self.in_channels == 1:
+                    return kpconv_split_input_diff(
+                        s_feats, q_points, s_points, head, tail, tail_q,
+                        rank, kernel_points, weights, self.sigma, bias,
+                        tile_m,
+                    )
+                return kpconv_split_diff(
+                    s_feats, q_points, s_points, head, tail, tail_q, rank,
+                    inverse_table, kernel_points, weights, self.sigma, bias,
+                    tile_m,
+                )
             if pool_feats is not None and inverse_table is not None:
                 return kpconv_pool_inv_fused_diff(
                     s_feats, pool_feats, q_points, s_points, neighbor_indices,
@@ -261,14 +294,16 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices,
-                 q_mask=None, inverse_table=None, union_tables=None):
+                 q_mask=None, inverse_table=None, union_tables=None,
+                 split_tables=None):
         x = KPConv(
             self.in_channels, self.out_channels, self.kernel_size,
             self.radius, self.sigma, use_bias=True,
             use_pallas=self.use_pallas, input_layer=self.input_layer,
             name="KPConv",
         )(s_feats, q_points, s_points, neighbor_indices,
-          inverse_table=inverse_table, union_tables=union_tables)
+          inverse_table=inverse_table, union_tables=union_tables,
+          split_tables=split_tables)
         x = GroupNorm(self.group_norm, self.out_channels, name="norm")(x, q_mask)
         return leaky_relu(x)
 
@@ -286,7 +321,8 @@ class ResidualBlock(nn.Module):
 
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices,
-                 q_mask=None, s_mask=None, inverse_table=None):
+                 q_mask=None, s_mask=None, inverse_table=None,
+                 split_tables=None):
         mid_channels = self.out_channels // 4
 
         if self.in_channels != mid_channels:
@@ -305,13 +341,13 @@ class ResidualBlock(nn.Module):
                 use_bias=True, use_pallas=True, name="KPConv",
             )(x, q_points, s_points, neighbor_indices,
               pool_feats=s_feats, pool_cols=self.pool_cols,
-              inverse_table=inverse_table)
+              inverse_table=inverse_table, split_tables=split_tables)
         else:
             x = KPConv(
                 mid_channels, mid_channels, self.kernel_size, self.radius, self.sigma,
                 use_bias=True, use_pallas=self.use_pallas, name="KPConv",
             )(x, q_points, s_points, neighbor_indices,
-              inverse_table=inverse_table)
+              inverse_table=inverse_table, split_tables=split_tables)
             shortcut = (
                 maxpool(s_feats, neighbor_indices, valid_cols=self.pool_cols)
                 if self.strided

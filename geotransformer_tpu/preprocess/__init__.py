@@ -4,6 +4,8 @@ from geotransformer_tpu.preprocess.pyramid import (
     build_pyramid,
     pad_registration_batch,
     caps_for_pyramid,
+    build_split_tables,
+    fit_split_for_table,
     round_up,
     PAD_COORD,
 )

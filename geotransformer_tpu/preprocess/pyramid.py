@@ -172,9 +172,74 @@ def build_inverse_table(table, num_support, j_cap):
     return inv
 
 
+def build_split_tables(table, num_support, h1, m2_cap):
+    """Split a padded neighbor table into head columns + a compacted tail
+    (deep-column compaction, kernels/kpconv.py split section).
+
+    The gather engine and the kernel's block reads both cost ~rows x one
+    padded tile-row, and calibrated neighbor limits leave large shadow
+    fractions; gathering the first ``h1`` (distance-sorted) columns for all
+    queries plus the remaining columns for only the queries that HAVE more
+    than ``h1`` valid neighbors cuts rows to M*h1 + M2*(H-h1) exactly.
+
+    Args:
+        table: (M, H) padded neighbor table, values < num_support are valid.
+        num_support: sentinel base (total support capacity).
+        h1: static head width; multiple of 8, 0 < h1 < H.
+        m2_cap: static tail-row capacity (calibrated; ValueError contract
+            like every other cap).
+
+    Returns:
+        (tail (m2_cap, H - h1) int32 sentinel-padded,
+         tail_q (m2_cap,) int32 query row per tail row (0 on padding rows),
+         tail_rank (M,) int32 query -> tail row, sentinel m2_cap).
+    """
+    table = np.asarray(table)
+    m, h = table.shape
+    if not (0 < h1 < h and h1 % 8 == 0):
+        raise ValueError(f"split head width {h1} invalid for table width {h}")
+    deep = (table[:, h1:] < num_support).any(axis=1)
+    rows = np.nonzero(deep)[0]
+    m2 = len(rows)
+    if m2 > m2_cap:
+        raise ValueError(
+            f"{m2} deep queries exceed split capacity {m2_cap}; raise this "
+            f"stage's split capacity (caps.neighbor_splits)")
+    tail = np.full((m2_cap, h - h1), num_support, dtype=table.dtype)
+    tail[:m2] = table[rows, h1:]
+    tail_q = np.zeros(m2_cap, dtype=np.int32)
+    tail_q[:m2] = rows
+    rank = np.full(m, m2_cap, dtype=np.int32)
+    rank[rows] = np.arange(m2, dtype=np.int32)
+    return tail, tail_q, rank
+
+
+def fit_split_for_table(table, num_support, multiple=128, min_saving=0.15):
+    """Pick a (h1, m2_cap) split for this table, or None when splitting
+    saves less than ``min_saving`` of the gathered rows (the second kernel
+    launch and combine-gather have fixed costs).
+
+    Cost model: rows(h1) = M*h1 + M2(h1)*(H-h1); h1 sweeps multiples of 8.
+    """
+    table = np.asarray(table)
+    m, h = table.shape
+    valid = table < num_support
+    best = (m * h, None)
+    for h1 in range(8, h, 8):
+        m2 = int(valid[:, h1:].any(axis=1).sum())
+        m2_cap = max(round_up(m2, multiple), multiple)
+        rows = m * h1 + m2_cap * (h - h1)
+        if rows < best[0]:
+            best = (rows, (h1, m2_cap))
+    if best[1] is None or best[0] > (1.0 - min_saving) * m * h:
+        return None
+    return best[1]
+
+
 def pad_registration_batch(pyramid, feats, transform, stage_caps,
                            inverse_limits=None, sub_inverse_limits=None,
-                           union_cap=None, union_tile=128):
+                           union_cap=None, union_tile=128,
+                           neighbor_splits=None, subsampling_splits=None):
     """Convert an unpadded pyramid into a fixed-capacity PairBatch pytree.
 
     Args:
@@ -267,6 +332,27 @@ def pad_registration_batch(pyramid, feats, transform, stage_caps,
                         out["subsampling"][i], rows,
                         int(sub_inverse_limits[i])),
                     np.int32(rows_sub)))
+
+    if neighbor_splits is not None:
+        out["neighbors_split"] = []
+        for i in range(num_stages):
+            spec = neighbor_splits[i]
+            if spec is None:
+                out["neighbors_split"].append(None)
+            else:
+                rows = out["neighbors"][i].shape[0]
+                out["neighbors_split"].append(build_split_tables(
+                    out["neighbors"][i], rows, spec[0], spec[1]))
+    if subsampling_splits is not None:
+        out["subsampling_split"] = []
+        for i in range(num_stages - 1):
+            spec = subsampling_splits[i]
+            if spec is None:
+                out["subsampling_split"].append(None)
+            else:
+                sent = out["neighbors"][i].shape[0]  # support = stage i
+                out["subsampling_split"].append(build_split_tables(
+                    out["subsampling"][i], sent, spec[0], spec[1]))
 
     if union_cap is not None:
         # stage-0 per-tile neighbor unions for the union-gather input conv
