@@ -133,7 +133,8 @@ def _kitti_like_pair(seed=0, n_rays=120000):
 def main():
     from geotransformer_tpu.configs import make_3dmatch_config, make_kitti_config
     from geotransformer_tpu.preprocess import (
-        build_pyramid, pad_registration_batch, caps_for_pyramid, pad_stage0,
+        build_pyramid, pad_registration_batch, caps_for_pyramid,
+        fit_split_for_table, pad_stage0,
     )
     from geotransformer_tpu.preprocess.device import build_pyramid_device
     from geotransformer_tpu.models import create_model, precompute_gt_targets
@@ -262,8 +263,20 @@ def main():
         kcaps = tuple(caps_for_pyramid(kpyr, multiple=256, per_cloud=True))
         kcfg = kcfg.with_caps(stage_caps=kcaps)
         kfeats = np.ones((kpoints.shape[0], kcfg.backbone.input_dim), np.float32)
+        # neighbor-table splits (deep-column compaction): LiDAR tables are
+        # ~70% padding under the calibrated limits, so the split cuts the
+        # dominant gather+conv rows (pair-fitted here, like the caps; the
+        # production path uses calibrate_split_specs via CapsConfig)
+        kbatch_np = pad_registration_batch(
+            kpyr, kfeats, np.eye(4, dtype=np.float32), kcaps)
+        knb = [fit_split_for_table(
+            np.asarray(t), np.asarray(t).shape[0]) for t in kbatch_np["neighbors"]]
+        ksub = [fit_split_for_table(
+            np.asarray(t), np.asarray(kbatch_np["neighbors"][i]).shape[0])
+            for i, t in enumerate(kbatch_np["subsampling"])]
         kbatch = jax.tree.map(jnp.asarray, pad_registration_batch(
-            kpyr, kfeats, np.eye(4, dtype=np.float32), kcaps))
+            kpyr, kfeats, np.eye(4, dtype=np.float32), kcaps,
+            neighbor_splits=knb, subsampling_splits=ksub))
         kmodel = create_model(kcfg)
         kvars = jax.jit(lambda r, b: kmodel.init(r, b, training=False, with_gt=False))(
             jax.random.PRNGKey(kcfg.seed), kbatch)

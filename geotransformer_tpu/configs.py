@@ -139,6 +139,13 @@ class CapsConfig:
     gt_candidates: int = 64          # S: src candidates per ref node for GT overlaps
     gt_chunk_size: int = 32          # lax.map chunk for overlap computation
     correspondence_capacity: int = 4096  # C: LGR verification-set capacity
+    # per-stage (h1, m2_cap) neighbor-table splits (deep-column compaction,
+    # kernels/kpconv.py split section) — None entries keep the full table.
+    # Calibrate with preprocess.calibrate_split_specs; worthwhile when the
+    # calibrated neighbor limit far exceeds typical valid counts (KITTI
+    # tables are ~70% padding; 3DMatch ~33%, below the ~15% break-even).
+    neighbor_splits: Optional[Tuple[Optional[Tuple[int, int]], ...]] = None
+    subsampling_splits: Optional[Tuple[Optional[Tuple[int, int]], ...]] = None
 
 
 @dataclass(frozen=True)

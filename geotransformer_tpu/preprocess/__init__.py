@@ -20,4 +20,5 @@ from geotransformer_tpu.preprocess.calibrate import (
     calibrate_stage_caps,
     calibrate_stage_cap_buckets,
     calibrate_inverse_limits,
+    calibrate_split_specs,
 )

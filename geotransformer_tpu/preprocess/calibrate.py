@@ -134,6 +134,81 @@ def calibrate_stage_cap_buckets(
     return buckets
 
 
+def calibrate_split_specs(
+    sample_iter,
+    num_stages,
+    voxel_size,
+    search_radius,
+    neighbor_limits,
+    num_samples=64,
+    multiple=128,
+    headroom=0.1,
+    min_saving=0.15,
+):
+    """Dataset-level neighbor-table split specs (deep-column compaction).
+
+    For each per-stage neighbor table and each inter-stage subsampling
+    table, sweeps head widths ``h1`` (multiples of 8) and records the
+    dataset maximum of M2(h1) — queries with more than ``h1`` valid
+    (distance-sorted) neighbors. Picks the ``h1`` minimizing the
+    worst-case gathered rows ``M*h1 + M2_cap*(W - h1)`` (the split
+    kernel's cost, kernels/kpconv.py split section); a stage whose best
+    split saves less than ``min_saving`` of the full-table rows gets
+    ``None`` (the two kernel launches and the combine-gather have fixed
+    costs — measured break-even ~15% on the TPU bench pairs).
+
+    Returns:
+        (neighbor_splits, subsampling_splits): per-stage lists of
+        ``(h1, m2_cap)`` or ``None`` for ``CapsConfig`` /
+        ``pad_registration_batch``. ``m2_cap`` carries ``headroom``
+        relative margin (scene-density skew) and is rounded to
+        ``multiple``; overflow at batch build raises ValueError like
+        every other capacity.
+    """
+    nb_w = [round_up(int(l), 8) for l in neighbor_limits]
+    nb_m2 = [dict() for _ in range(num_stages)]
+    sub_m2 = [dict() for _ in range(max(num_stages - 1, 0))]
+    nb_rows = [0] * num_stages
+    sub_rows = [0] * max(num_stages - 1, 0)
+    for n, sample in enumerate(sample_iter):
+        if n >= num_samples:
+            break
+        points = np.concatenate([sample["ref_points"], sample["src_points"]], axis=0)
+        lengths = np.asarray([len(sample["ref_points"]), len(sample["src_points"])])
+        pyramid = build_pyramid(
+            points, lengths, num_stages, voxel_size, search_radius, neighbor_limits
+        )
+        totals = [int(np.sum(l)) for l in pyramid["lengths"]]
+        for tables, m2s, rows, supports in (
+            (pyramid["neighbors"], nb_m2, nb_rows, list(range(num_stages))),
+            (pyramid["subsampling"], sub_m2, sub_rows, list(range(num_stages - 1))),
+        ):
+            for i, table in enumerate(tables):
+                vc = np.sum(table < totals[supports[i]], axis=1)
+                rows[i] = max(rows[i], len(vc))
+                for h1 in range(8, nb_w[supports[i]], 8):
+                    m2 = int(np.sum(vc > h1))
+                    m2s[i][h1] = max(m2s[i].get(h1, 0), m2)
+
+    def pick(m2_by_h1, m_rows, width):
+        best_rows, best = m_rows * width, None
+        for h1, m2 in m2_by_h1.items():
+            m2_cap = max(round_up(int(m2 * (1 + headroom)), multiple), multiple)
+            m2_cap = min(m2_cap, m_rows)
+            rows = m_rows * h1 + m2_cap * (width - h1)
+            if rows < best_rows:
+                best_rows, best = rows, (h1, m2_cap)
+        if best is None or best_rows > (1.0 - min_saving) * m_rows * width:
+            return None
+        return best
+
+    nb_specs = [pick(nb_m2[i], nb_rows[i], nb_w[i]) for i in range(num_stages)]
+    sub_specs = [
+        pick(sub_m2[i], sub_rows[i], nb_w[i]) for i in range(num_stages - 1)
+    ]
+    return nb_specs, sub_specs
+
+
 def calibrate_inverse_limits(
     sample_iter,
     num_stages,

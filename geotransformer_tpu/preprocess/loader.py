@@ -115,6 +115,8 @@ def prepare_pair(
     inverse_limits=None,
     precompute_targets=False,
     model_cfg=None,
+    neighbor_splits=None,
+    subsampling_splits=None,
 ):
     """Build + pad one registration pair from a dataset sample dict.
 
@@ -152,7 +154,8 @@ def prepare_pair(
         feats = np.ones((points.shape[0], input_dim), np.float32)
     transform = np.asarray(sample.get("transform", np.eye(4)), np.float32)
     batch = pad_registration_batch(
-        pyramid, feats, transform, stage_caps, inverse_limits=inverse_limits)
+        pyramid, feats, transform, stage_caps, inverse_limits=inverse_limits,
+        neighbor_splits=neighbor_splits, subsampling_splits=subsampling_splits)
     if precompute_targets:
         if model_cfg is None:
             raise ValueError("precompute_targets=True requires model_cfg")

@@ -15,7 +15,8 @@ sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 from geotransformer_tpu.configs import make_config
 from geotransformer_tpu.preprocess import (
-    calibrate_inverse_limits, calibrate_neighbor_limits, calibrate_stage_caps,
+    calibrate_inverse_limits, calibrate_neighbor_limits, calibrate_split_specs,
+    calibrate_stage_caps,
 )
 
 
@@ -61,10 +62,16 @@ def main():
         sample_iter(), cfg.backbone.num_stages, cfg.backbone.init_voxel_size,
         cfg.backbone.init_radius, limits, num_samples=args.num_samples,
     )
+    neighbor_splits, subsampling_splits = calibrate_split_specs(
+        sample_iter(), cfg.backbone.num_stages, cfg.backbone.init_voxel_size,
+        cfg.backbone.init_radius, limits, num_samples=args.num_samples,
+    )
     print(json.dumps({
         "neighbor_limits": limits, "stage_caps": caps,
         "inverse_limits": inverse_limits,
         "sub_inverse_limits": sub_inverse_limits,
+        "neighbor_splits": neighbor_splits,
+        "subsampling_splits": subsampling_splits,
     }))
 
 

@@ -87,6 +87,8 @@ def main():
         neighbor_limits=cfg.caps.neighbor_limits,
         stage_caps=stage_caps,
         input_dim=cfg.backbone.input_dim,
+        neighbor_splits=cfg.caps.neighbor_splits,
+        subsampling_splits=cfg.caps.subsampling_splits,
     )
     device_plan = None
     if args.device_preprocess:

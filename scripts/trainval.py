@@ -85,6 +85,8 @@ def main():
         neighbor_limits=cfg.caps.neighbor_limits,
         stage_caps=cfg.caps.stage_caps,
         input_dim=cfg.backbone.input_dim,
+        neighbor_splits=cfg.caps.neighbor_splits,
+        subsampling_splits=cfg.caps.subsampling_splits,
     )
     # training batches carry inverse neighbor tables (scatter-free backward)
     # and host-precomputed partition/GT-overlap targets (the reference's

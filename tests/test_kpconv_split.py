@@ -185,6 +185,72 @@ class TestSplitGradients:
                                        rtol=1e-4, atol=1e-5)
 
 
+class TestProductionWiring:
+    def test_calibrate_split_specs(self, rng):
+        from geotransformer_tpu.preprocess import calibrate_split_specs
+
+        def samples():
+            for _ in range(4):
+                ref = rng.uniform(0, 1, (900, 3)).astype(np.float32)
+                src = rng.uniform(0, 1, (800, 3)).astype(np.float32)
+                yield {"ref_points": ref, "src_points": src}
+
+        nb, sub = calibrate_split_specs(
+            samples(), 3, 0.05, 0.125, [16, 16, 16], multiple=8)
+        assert len(nb) == 3 and len(sub) == 2
+        for spec in nb + sub:
+            if spec is not None:
+                h1, m2 = spec
+                assert h1 % 8 == 0 and 0 < h1 < 16 and m2 % 8 == 0
+
+    def test_prepare_pair_split_model_parity(self, rng):
+        """Full model (interpret-mode Pallas kernels) on a prepare_pair
+        batch with config-driven splits vs the same batch without."""
+        from geotransformer_tpu.configs import make_3dmatch_config
+        from geotransformer_tpu.preprocess.loader import prepare_pair
+        from geotransformer_tpu.models import create_model
+
+        xy = rng.uniform(0, 1, (1000, 2)).astype(np.float32)
+        z = 0.15 * np.sin(6 * xy[:, 0]) * np.cos(5 * xy[:, 1])
+        ref = np.column_stack([xy, z]).astype(np.float32)
+        keep = ref[:, 0] < 0.75
+        src = ref[keep] + 0.003 * rng.normal(size=(int(keep.sum()), 3)).astype(np.float32)
+        sample = {"ref_points": ref, "src_points": src.astype(np.float32),
+                  "transform": np.eye(4, dtype=np.float32)}
+
+        cfg = make_3dmatch_config().with_caps(
+            stage_caps=(2048, 640, 192, 64), correspondence_capacity=1024,
+            gt_candidates=32,
+            neighbor_splits=((8, 4096), None, (8, 384), None),
+            subsampling_splits=(None, (8, 384), (8, 128)),
+        )
+        pipe = dict(num_stages=4, voxel_size=cfg.backbone.init_voxel_size,
+                    search_radius=cfg.backbone.init_radius,
+                    neighbor_limits=cfg.caps.neighbor_limits,
+                    stage_caps=cfg.caps.stage_caps)
+        b0 = prepare_pair(sample, **pipe)
+        b1 = prepare_pair(sample, **pipe,
+                          neighbor_splits=cfg.caps.neighbor_splits,
+                          subsampling_splits=cfg.caps.subsampling_splits)
+        assert "neighbors_split" in b1 and b1["neighbors_split"][0] is not None
+        b0.pop("meta"); b1.pop("meta")
+        b0 = jax.tree.map(jnp.asarray, b0)
+        b1 = jax.tree.map(jnp.asarray, b1)
+
+        model = create_model(cfg.with_model(force_pallas=True))
+        variables = model.init(jax.random.PRNGKey(0), b0, training=False,
+                               with_gt=False)
+        out0 = model.apply(variables, b0, training=False, with_gt=False)
+        out1 = model.apply(variables, b1, training=False, with_gt=False)
+        f0 = np.asarray(out0["ref_feats_c"])
+        f1 = np.asarray(out1["ref_feats_c"])
+        # split changes f32 accumulation order (head+tail vs full-table sum)
+        # under the kernels' bf16 inputs; drift amplifies through 4 stages +
+        # transformer — 2e-3 relative bounds it with margin
+        scale = np.abs(f0).max() + 1e-9
+        assert np.abs(f0 - f1).max() / scale < 2e-3
+
+
 class TestBuildSplitTables:
     def test_roundtrip_covers_all_edges(self, rng):
         n = 50
