@@ -146,6 +146,16 @@ def main():
     points = np.concatenate([ref_points, src_points], 0)
     lengths = np.asarray([len(ref_points), len(src_points)])
 
+    def fit_splits(padded):
+        """Pair-fit (h1, m2_cap) splits from a padded batch's tables (the
+        production path calibrates them dataset-wide instead)."""
+        nb = [fit_split_for_table(np.asarray(t), np.asarray(t).shape[0])
+              for t in padded["neighbors"]]
+        sub = [fit_split_for_table(
+            np.asarray(t), np.asarray(padded["neighbors"][i]).shape[0])
+            for i, t in enumerate(padded["subsampling"])]
+        return nb, sub
+
     cfg = make_3dmatch_config()
     pyramid = build_pyramid(
         points, lengths, cfg.backbone.num_stages, cfg.backbone.init_voxel_size,
@@ -155,6 +165,10 @@ def main():
     cfg = cfg.with_caps(stage_caps=caps)
     feats = np.ones((points.shape[0], cfg.backbone.input_dim), np.float32)
     batch = pad_registration_batch(pyramid, feats, np.eye(4, dtype=np.float32), caps)
+    nb_splits, sub_splits = fit_splits(batch)
+    batch = pad_registration_batch(
+        pyramid, feats, np.eye(4, dtype=np.float32), caps,
+        neighbor_splits=nb_splits, subsampling_splits=sub_splits)
     batch = jax.tree.map(jnp.asarray, batch)
 
     model = create_model(cfg)
@@ -174,9 +188,23 @@ def main():
 
     # -- production train step: inverse tables + host-precomputed targets --
     tx = make_optimizer(cfg, steps_per_epoch=10, world_size=1)
+    train_np = pad_registration_batch(
+        pyramid, feats, np.eye(4, dtype=np.float32), caps,
+        inverse_limits=cfg.caps.inverse_limits,
+        neighbor_splits=nb_splits, subsampling_splits=sub_splits)
+    # backward inverse tables carry even larger shadow fractions (in-degree
+    # capacity ~3x the mean in-degree) — split them too
+    inv_splits = [fit_split_for_table(
+        np.asarray(t), np.asarray(t).shape[0]) for t in train_np["neighbors_inv"]]
+    # sub-inverse sentinel is the NEXT stage's (query-side) row count
+    sub_inv_splits = [fit_split_for_table(
+        np.asarray(t), np.asarray(train_np["neighbors"][i + 1]).shape[0])
+        for i, t in enumerate(train_np["subsampling_inv"])]
     train_batch = jax.tree.map(jnp.asarray, pad_registration_batch(
         pyramid, feats, np.eye(4, dtype=np.float32), caps,
-        inverse_limits=cfg.caps.inverse_limits))
+        inverse_limits=cfg.caps.inverse_limits,
+        neighbor_splits=nb_splits, subsampling_splits=sub_splits,
+        inverse_splits=inv_splits, sub_inverse_splits=sub_inv_splits))
     targets = jax.jit(lambda b: precompute_gt_targets(cfg, b, use_pallas=True))(
         train_batch)
     train_batch_pre = dict(train_batch, **jax.tree.map(lambda x: x, targets))
@@ -239,8 +267,12 @@ def main():
         cfg_cal = make_3dmatch_config()
         cal_caps = tuple(cfg_cal.caps.stage_caps)
         model_cal = create_model(cfg_cal)
+        cal_pad = pad_registration_batch(
+            pyramid, feats, np.eye(4, dtype=np.float32), cal_caps)
+        cal_nb, cal_sub = fit_splits(cal_pad)
         batch_cal = jax.tree.map(jnp.asarray, pad_registration_batch(
-            pyramid, feats, np.eye(4, dtype=np.float32), cal_caps))
+            pyramid, feats, np.eye(4, dtype=np.float32), cal_caps,
+            neighbor_splits=cal_nb, subsampling_splits=cal_sub))
         variables_cal = jax.jit(
             lambda r, b: model_cal.init(r, b, training=False, with_gt=False)
         )(jax.random.PRNGKey(cfg.seed), batch_cal)
@@ -269,11 +301,7 @@ def main():
         # production path uses calibrate_split_specs via CapsConfig)
         kbatch_np = pad_registration_batch(
             kpyr, kfeats, np.eye(4, dtype=np.float32), kcaps)
-        knb = [fit_split_for_table(
-            np.asarray(t), np.asarray(t).shape[0]) for t in kbatch_np["neighbors"]]
-        ksub = [fit_split_for_table(
-            np.asarray(t), np.asarray(kbatch_np["neighbors"][i]).shape[0])
-            for i, t in enumerate(kbatch_np["subsampling"])]
+        knb, ksub = fit_splits(kbatch_np)
         kbatch = jax.tree.map(jnp.asarray, pad_registration_batch(
             kpyr, kfeats, np.eye(4, dtype=np.float32), kcaps,
             neighbor_splits=knb, subsampling_splits=ksub))

@@ -146,6 +146,11 @@ class CapsConfig:
     # tables are ~70% padding; 3DMatch ~33%, below the ~15% break-even).
     neighbor_splits: Optional[Tuple[Optional[Tuple[int, int]], ...]] = None
     subsampling_splits: Optional[Tuple[Optional[Tuple[int, int]], ...]] = None
+    # same compaction for the backward's inverse tables (training batches):
+    # in-degree capacities run ~3x the mean in-degree, so the split cuts
+    # the dominant backward gather rows (kernels/kpconv.kpconv_bwd_fused)
+    inverse_splits: Optional[Tuple[Optional[Tuple[int, int]], ...]] = None
+    sub_inverse_splits: Optional[Tuple[Optional[Tuple[int, int]], ...]] = None
 
 
 @dataclass(frozen=True)

@@ -584,11 +584,47 @@ def kpconv_bwd_fused(
         s_feats: (N, C_in) the conv's input features (for d_weights).
         s_points: (N, 3); q_points: (M, 3).
         gdiv: (M, C_out) dout / neighbor count.
-        inverse_table: (N, J) int32 query rows per support row, sentinel M.
+        inverse_table: (N, J) int32 query rows per support row, sentinel M —
+            or a split 4-tuple ``(head, tail, tail_s, rank)`` from
+            ``build_split_tables`` on the inverse table (deep-column
+            compaction: in-degree capacities run ~3x the mean in-degree, so
+            the split cuts the dominant backward gather+read rows; the two
+            passes combine by plain addition + one rank-gather). The
+            in-kernel u = infl·gd contraction rounds to MXU_DTYPE before
+            the weight matmuls, so the split's per-pass partial sums round
+            separately — a bf16-class deviation from the single pass, the
+            same accuracy class as the kernel itself (gradients only; the
+            forward is unchanged).
         kernel_points: (K, 3); weights: (K, C_in, C_out).
         pool_feats / pooled / dpool_over_ties: optional (N, C_p) / (M, C_p) /
             (M, C_p) for the fused strided-shortcut maxpool backward.
     """
+    if isinstance(inverse_table, (tuple, list)):
+        head, tail, tail_s, rank = inverse_table
+        r1 = kpconv_bwd_fused(
+            s_feats, s_points, q_points, gdiv, head, kernel_points, weights,
+            sigma, tile_n=tile_n, interpret=interpret,
+            pool_feats=pool_feats, pooled=pooled,
+            dpool_over_ties=dpool_over_ties,
+        )
+        # tail pass over the compacted deep-support rows only; padding rows
+        # (tail_s == 0) carry all-sentinel inverse rows, so every gathered
+        # quantity there is a zero shadow row and contributes nothing
+        pf_t = pool_feats[tail_s] if pool_feats is not None else None
+        r2 = kpconv_bwd_fused(
+            s_feats[tail_s], s_points[tail_s], q_points, gdiv, tail,
+            kernel_points, weights, sigma, tile_n=tile_n,
+            interpret=interpret,
+            pool_feats=pf_t, pooled=pooled, dpool_over_ties=dpool_over_ties,
+        )
+        zrow = jnp.zeros((1, r2[0].shape[1]), r2[0].dtype)
+        d_sf = r1[0] + jnp.concatenate([r2[0], zrow], 0)[rank]
+        d_w = r1[1] + r2[1]
+        if pool_feats is None:
+            return d_sf, d_w
+        zp = jnp.zeros((1, r2[2].shape[1]), r2[2].dtype)
+        return d_sf, d_w, r1[2] + jnp.concatenate([r2[2], zp], 0)[rank]
+
     n = s_points.shape[0]
     m = q_points.shape[0]
     k, c_in, c_out = weights.shape

@@ -143,7 +143,7 @@ def calibrate_split_specs(
     num_samples=64,
     multiple=128,
     headroom=0.1,
-    min_saving=0.15,
+    min_saving=0.08,
 ):
     """Dataset-level neighbor-table split specs (deep-column compaction).
 
@@ -155,7 +155,8 @@ def calibrate_split_specs(
     kernel's cost, kernels/kpconv.py split section); a stage whose best
     split saves less than ``min_saving`` of the full-table rows gets
     ``None`` (the two kernel launches and the combine-gather have fixed
-    costs — measured break-even ~15% on the TPU bench pairs).
+    costs — a measured 13% mean row saving nets 6% end-to-end on the TPU
+    bench pair, so break-even sits below 8%).
 
     Returns:
         (neighbor_splits, subsampling_splits): per-stage lists of

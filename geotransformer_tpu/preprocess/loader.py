@@ -117,6 +117,8 @@ def prepare_pair(
     model_cfg=None,
     neighbor_splits=None,
     subsampling_splits=None,
+    inverse_splits=None,
+    sub_inverse_splits=None,
 ):
     """Build + pad one registration pair from a dataset sample dict.
 
@@ -155,7 +157,8 @@ def prepare_pair(
     transform = np.asarray(sample.get("transform", np.eye(4)), np.float32)
     batch = pad_registration_batch(
         pyramid, feats, transform, stage_caps, inverse_limits=inverse_limits,
-        neighbor_splits=neighbor_splits, subsampling_splits=subsampling_splits)
+        neighbor_splits=neighbor_splits, subsampling_splits=subsampling_splits,
+        inverse_splits=inverse_splits, sub_inverse_splits=sub_inverse_splits)
     if precompute_targets:
         if model_cfg is None:
             raise ValueError("precompute_targets=True requires model_cfg")

@@ -214,10 +214,12 @@ def build_split_tables(table, num_support, h1, m2_cap):
     return tail, tail_q, rank
 
 
-def fit_split_for_table(table, num_support, multiple=128, min_saving=0.15):
+def fit_split_for_table(table, num_support, multiple=128, min_saving=0.08):
     """Pick a (h1, m2_cap) split for this table, or None when splitting
     saves less than ``min_saving`` of the gathered rows (the second kernel
-    launch and combine-gather have fixed costs).
+    launch and combine-gather have fixed costs; measured on the demo pair,
+    13% mean row saving across all stages nets a 6% end-to-end forward
+    win, so the break-even sits below 8%).
 
     Cost model: rows(h1) = M*h1 + M2(h1)*(H-h1); h1 sweeps multiples of 8.
     """
@@ -239,7 +241,8 @@ def fit_split_for_table(table, num_support, multiple=128, min_saving=0.15):
 def pad_registration_batch(pyramid, feats, transform, stage_caps,
                            inverse_limits=None, sub_inverse_limits=None,
                            union_cap=None, union_tile=128,
-                           neighbor_splits=None, subsampling_splits=None):
+                           neighbor_splits=None, subsampling_splits=None,
+                           inverse_splits=None, sub_inverse_splits=None):
     """Convert an unpadded pyramid into a fixed-capacity PairBatch pytree.
 
     Args:
@@ -319,19 +322,37 @@ def pad_registration_batch(pyramid, feats, transform, stage_caps,
                 max(16, int(l) // 4 + 8) for l in inverse_limits[:-1])
         out["neighbors_inv"] = []
         out["subsampling_inv"] = []
+
+        def _maybe_split(inv, query_rows, spec):
+            # deep-column compaction of the inverse table: the backward
+            # kernel (kernels/kpconv.kpconv_bwd_fused) accepts the split
+            # 4-tuple directly and runs head + compacted-tail passes
+            if spec is None:
+                return inv
+            tail, tail_s, rank = build_split_tables(
+                inv, query_rows, spec[0], spec[1])
+            return (inv[:, :spec[0]], tail, tail_s, rank)
+
         for i in range(num_stages):
             rows = out["neighbors"][i].shape[0]
-            out["neighbors_inv"].append(_pad_cols_to_sublane(
+            inv = _pad_cols_to_sublane(
                 build_inverse_table(
                     out["neighbors"][i], rows, int(inverse_limits[i])),
-                np.int32(rows)))
+                np.int32(rows))
+            out["neighbors_inv"].append(_maybe_split(
+                inv, rows,
+                None if inverse_splits is None else inverse_splits[i]))
             if i < num_stages - 1:
                 rows_sub = out["subsampling"][i].shape[0]
-                out["subsampling_inv"].append(_pad_cols_to_sublane(
+                sub_inv = _pad_cols_to_sublane(
                     build_inverse_table(
                         out["subsampling"][i], rows,
                         int(sub_inverse_limits[i])),
-                    np.int32(rows_sub)))
+                    np.int32(rows_sub))
+                out["subsampling_inv"].append(_maybe_split(
+                    sub_inv, rows_sub,
+                    None if sub_inverse_splits is None
+                    else sub_inverse_splits[i]))
 
     if neighbor_splits is not None:
         out["neighbors_split"] = []

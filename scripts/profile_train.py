@@ -8,8 +8,11 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from geotransformer_tpu.configs import make_3dmatch_config
-from geotransformer_tpu.preprocess import build_pyramid, pad_registration_batch, caps_for_pyramid
-from geotransformer_tpu.models import create_model
+from geotransformer_tpu.preprocess import (
+    build_pyramid, pad_registration_batch, caps_for_pyramid,
+    fit_split_for_table,
+)
+from geotransformer_tpu.models import create_model, precompute_gt_targets
 from geotransformer_tpu.parallel.train import init_train_state, make_optimizer, make_train_step
 
 ref = np.load("/root/reference/data/demo/ref.npy").astype(np.float32)
@@ -22,7 +25,21 @@ pyr = build_pyramid(points, lengths, 4, cfg.backbone.init_voxel_size,
 caps = tuple(caps_for_pyramid(pyr, multiple=256, per_cloud=True))
 cfg = cfg.with_caps(stage_caps=caps)
 feats = np.ones((points.shape[0], 1), np.float32)
-batch = jax.tree.map(jnp.asarray, pad_registration_batch(pyr, feats, np.eye(4, dtype=np.float32), caps))
+# PRODUCTION train batch: inverse tables (scatter-free backward), fitted
+# splits, and loader-precomputed no_grad targets — same as bench.py's
+# train_step_ms configuration.
+base = pad_registration_batch(pyr, feats, np.eye(4, dtype=np.float32), caps)
+nb_splits = [fit_split_for_table(np.asarray(t), np.asarray(t).shape[0])
+             for t in base["neighbors"]]
+sub_splits = [fit_split_for_table(
+    np.asarray(t), np.asarray(base["neighbors"][i]).shape[0])
+    for i, t in enumerate(base["subsampling"])]
+batch = jax.tree.map(jnp.asarray, pad_registration_batch(
+    pyr, feats, np.eye(4, dtype=np.float32), caps,
+    inverse_limits=cfg.caps.inverse_limits,
+    neighbor_splits=nb_splits, subsampling_splits=sub_splits))
+targets = jax.jit(lambda b: precompute_gt_targets(cfg, b, use_pallas=True))(batch)
+batch = dict(batch, **targets)
 model = create_model(cfg)
 tx = make_optimizer(cfg, steps_per_epoch=10, world_size=1)
 state = init_train_state(model, cfg, jax.random.PRNGKey(0), batch, tx)

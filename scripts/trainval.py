@@ -94,6 +94,8 @@ def main():
     train_pipeline_cfg = dict(
         pipeline_cfg,
         inverse_limits=cfg.caps.inverse_limits,
+        inverse_splits=cfg.caps.inverse_splits,
+        sub_inverse_splits=cfg.caps.sub_inverse_splits,
         precompute_targets=not args.no_precompute_targets,
         model_cfg=cfg,
     )

@@ -185,6 +185,92 @@ class TestSplitGradients:
                                        rtol=1e-4, atol=1e-5)
 
 
+class TestInverseSplit:
+    """Split inverse tables: the backward's two-pass combine must match the
+    single-pass inverse backward exactly (same kernel, disjoint edge sets,
+    f32 accumulation)."""
+
+    def _split_inv(self, inv, sentinel, j1):
+        inv = np.asarray(inv)
+        m2 = int((inv[:, j1:] < sentinel).any(1).sum()) + 8
+        tail, tail_s, rank = build_split_tables(inv, sentinel, j1, m2)
+        return (jnp.asarray(inv[:, :j1]), jnp.asarray(tail),
+                jnp.asarray(tail_s), jnp.asarray(rank))
+
+    def test_inv_split_gradients_match(self, rng):
+        s_feats, q, s, table, kp, w, bias = _make_problem(rng)
+        n = s.shape[0]
+        inv = build_inverse_table(np.asarray(table), n, 32)
+        split = self._split_inv(inv, table.shape[0], 8)
+
+        def grads(inv_arg):
+            def loss(sf, ww, bb):
+                return jnp.sum(kpconv_inv_fused_diff(
+                    sf, q, s, table, inv_arg, kp, ww, 0.3, bb, 64) ** 2)
+            return jax.grad(loss, argnums=(0, 1, 2))(s_feats, w, bias)
+
+        ref = grads(jnp.asarray(inv))
+        got = grads(split)
+        for a, b in zip(ref, got):
+            # the kernel rounds its u contraction to bf16 before the weight
+            # matmuls; the split rounds per-pass partials separately —
+            # bf16-class deviation, same accuracy class as the kernel
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-9
+            assert np.abs(a - b).max() / scale < 2e-2
+
+    def test_inv_split_pool_gradients_match(self, rng):
+        s_feats, q, s, table, kp, w, bias = _make_problem(rng)
+        n = s.shape[0]
+        pool_feats = jnp.asarray(
+            rng.normal(size=(n, 6)).astype(np.float32))
+        inv = build_inverse_table(np.asarray(table), n, 32)
+        split = self._split_inv(inv, table.shape[0], 16)
+
+        def grads(inv_arg):
+            def loss(sf, pf, ww, bb):
+                out, pooled = kpconv_pool_inv_fused_diff(
+                    sf, pf, q, s, table, inv_arg, kp, ww, 0.3, bb, 64, 20)
+                return jnp.sum(out ** 2) + jnp.sum(pooled ** 2)
+            return jax.grad(loss, argnums=(0, 1, 2, 3))(
+                s_feats, pool_feats, w, bias)
+
+        ref = grads(jnp.asarray(inv))
+        got = grads(split)
+        for a, b in zip(ref, got):
+            a, b = np.asarray(a), np.asarray(b)
+            scale = np.abs(a).max() + 1e-9
+            assert np.abs(a - b).max() / scale < 2e-2
+
+    def test_batch_builder_emits_split_inverse(self, rng):
+        from geotransformer_tpu.preprocess import (
+            build_pyramid, pad_registration_batch,
+        )
+        ref = rng.uniform(0, 1, (600, 3)).astype(np.float32)
+        src = rng.uniform(0, 1, (500, 3)).astype(np.float32)
+        points = np.concatenate([ref, src], 0)
+        lengths = np.asarray([len(ref), len(src)])
+        pyr = build_pyramid(points, lengths, 3, 0.05, 0.125, [16, 16, 16])
+        caps = (1024, 512, 256)
+        b = pad_registration_batch(
+            pyr, np.ones((len(points), 1), np.float32),
+            np.eye(4, dtype=np.float32), caps,
+            inverse_limits=(48, 48, 48),
+            inverse_splits=((8, 2048), None, (8, 512)),
+            sub_inverse_splits=((8, 2048), None))
+        assert isinstance(b["neighbors_inv"][0], tuple)
+        assert not isinstance(b["neighbors_inv"][1], tuple)
+        assert isinstance(b["subsampling_inv"][0], tuple)
+        # head width + tail width == full padded width
+        head, tail, tail_s, rank = b["neighbors_inv"][0]
+        full = pad_registration_batch(
+            pyr, np.ones((len(points), 1), np.float32),
+            np.eye(4, dtype=np.float32), caps,
+            inverse_limits=(48, 48, 48))["neighbors_inv"][0]
+        assert head.shape[1] + tail.shape[1] == full.shape[1]
+        np.testing.assert_array_equal(head, full[:, :head.shape[1]])
+
+
 class TestProductionWiring:
     def test_calibrate_split_specs(self, rng):
         from geotransformer_tpu.preprocess import calibrate_split_specs
