@@ -82,6 +82,20 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
     q = q_ref[...]  # (TM, AUG) f32 — lanes [q(3), |q|^2(1), ...]
     kp = kp_ref[...]  # (K, AUG) f32 — lanes [kp(3), |kp|^2(1), ...]
 
+    # Neighbor count from positive feature sums (reference kpconv.py:113-116;
+    # the posflag lane carries (feat_sum > 0) computed host/XLA-side in f32,
+    # exact regardless of table dtype). Computed BEFORE any lane extraction:
+    # summing the whole block over h is a lane-preserving sublane reduction,
+    # then lane 6 of the (TM, AUG+C) result is the posflag sum. Extracting
+    # the (TM, H) posflag plane first puts H on the lane axis — a relayout
+    # Mosaic charges ~0.4 ms per stage-0 conv for (measured; the old layout
+    # hid it inside the equally bad (TM, H, K) influence ops). Unnormalized
+    # (split) passes emit the RAW count: the split combine clamps once after
+    # summing both passes — a per-pass clamp would inflate the denominator
+    # whenever one pass has zero positive-flag neighbors.
+    count_raw = jnp.sum(g.astype(jnp.float32), axis=1)[:, 6]  # (TM,)
+    count = jnp.maximum(count_raw, 1.0) if normalize else count_raw
+
     # hi/lo coordinate reconstruction (f32 tables store exact coords in hi
     # and zeros in lo — skip the add there).
     if g.dtype == jnp.float32:
@@ -89,7 +103,6 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
     else:
         sp = g[:, :, :3].astype(jnp.float32) + g[:, :, 3:6].astype(jnp.float32)
     nf = g[:, :, _AUG : _AUG + c_in]  # (TM, H, C) TABLE_DTYPE
-    posflag = g[:, :, 6].astype(jnp.float32)  # (TM, H) exact 0/1
     qp = q[:, :3]  # (TM, 3)
     tm, h = sp.shape[0], sp.shape[1]
 
@@ -103,29 +116,32 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
     # expanded |s|^2 - 2 s.q + |q|^2 form suffered. (precision=HIGHEST on
     # the absolute-coordinate dots was measured correct but ~2 ms slower
     # per forward across the 12 convolutions.)
-    off = sp - qp[:, None, :]  # (TM, H, 3)
-    sq_off = jnp.sum(off * off, axis=-1)  # (TM, H)
-    off_dot_kp = jax.lax.dot_general(
-        off.reshape(tm * h, 3), kp[:, :3].T,
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ).reshape(tm, h, k)  # (TM, H, K)
-    sq = (
-        sq_off[:, :, None]
-        - 2.0 * off_dot_kp
-        + kp[:, 3][None, None, :]
-    )
-    sq = jnp.maximum(sq, 1e-20)
-    influence = jnp.maximum(1.0 - jnp.sqrt(sq) / sigma, 0.0)  # (TM, H, K)
-
-    # neighbor count from positive feature sums (reference kpconv.py:113-116);
-    # the posflag lane carries (feat_sum > 0) computed host/XLA-side in f32,
-    # so the count is exact regardless of the table dtype (and cheaper than
-    # an in-kernel (TM, H, C) reduce). Unnormalized (split) passes emit the
-    # RAW count: the split combine clamps once after summing both passes —
-    # a per-pass clamp would inflate the denominator whenever one pass has
-    # zero positive-flag neighbors.
-    count_raw = jnp.sum(posflag, axis=-1)  # (TM,)
-    count = jnp.maximum(count_raw, 1.0) if normalize else count_raw
+    off = (sp - qp[:, None, :]).reshape(tm * h, 3)  # (TM*H, 3)
+    # Transposed-layout geometry: a (TM, H, K) influence tensor keeps K=15
+    # on the LANE axis — every elementwise op runs at 15/128 lane
+    # efficiency, measured 0.49 ms of the stage-0 conv's 1.30 ms. Instead
+    # compute sq as ONE augmented MXU dot straight into (K, TM*H) — K on
+    # sublanes, edges on lanes, full lane utilization — run the sqrt/relu
+    # chain there, and transpose back for the neighbor contraction
+    # (measured 1.30 -> 0.92 ms at stage-0 shapes). The |off|^2 operand now
+    # rides the bf16 matmul pass like the cross term already did — same
+    # rounding class as the existing odk term (offsets-first keeps
+    # magnitudes ~sigma, see above).
+    sq_off = jnp.sum(off * off, axis=-1, keepdims=True)  # (TM*H, 1)
+    off_aug = jnp.concatenate(
+        [off, sq_off, jnp.ones((tm * h, 1), jnp.float32)], axis=1
+    )  # (TM*H, 5): [off(3), |off|^2, 1]
+    kp_aug = jnp.concatenate(
+        [-2.0 * kp[:, :3], jnp.ones((k, 1), jnp.float32), kp[:, 3:4]], axis=1
+    )  # (K, 5): [-2 kp(3), 1, |kp|^2]
+    sq_t = jax.lax.dot_general(
+        kp_aug, off_aug, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (K, TM*H) = |off|^2 - 2 off.kp + |kp|^2
+    infl_t = jnp.maximum(
+        1.0 - jnp.sqrt(jnp.maximum(sq_t, 1e-20)) / sigma, 0.0
+    )  # (K, TM*H), full-lane relu/sqrt
+    influence = infl_t.T.reshape(tm, h, k)  # (TM, H, K)
 
     if c_in == 1:
         # First conv (raw input features, C_in == 1): the neighbor
@@ -517,16 +533,22 @@ def _kpconv_bwd_kernel(*refs, num_kernel_points, c_in, c_out, c_pool, sigma):
     # dispositions are not mirror-symmetric, so the sign matters.
     # Shadow rows contribute nothing: every output term below carries a
     # gd / dpr factor, which is zero there.
-    off = sp[:, None, :] - qp
-    sq_off = jnp.sum(off * off, axis=-1)
-    off_dot_kp = jax.lax.dot_general(
-        off.reshape(tn * j, 3), kp[:, :3].T,
-        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
-    ).reshape(tn, j, k)
-    sq = sq_off[:, :, None] - 2.0 * off_dot_kp + kp[:, 3][None, None, :]
+    # Transposed-layout geometry (see the forward kernel): one augmented
+    # MXU dot puts sq in (K, TN*J) with edges on lanes, the sqrt/relu chain
+    # runs at full lane width, then one transpose back for the contraction.
+    off = (sp[:, None, :] - qp).reshape(tn * j, 3)
+    sq_off = jnp.sum(off * off, axis=-1, keepdims=True)
+    off_aug = jnp.concatenate(
+        [off, sq_off, jnp.ones((tn * j, 1), jnp.float32)], axis=1)
+    kp_aug = jnp.concatenate(
+        [-2.0 * kp[:, :3], jnp.ones((k, 1), jnp.float32), kp[:, 3:4]], axis=1)
+    sq_t = jax.lax.dot_general(
+        kp_aug, off_aug, (((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (K, TN*J)
     influence = jnp.maximum(
-        1.0 - jnp.sqrt(jnp.maximum(sq, 1e-20)) / sigma, 0.0
-    )  # (TN, J, K)
+        1.0 - jnp.sqrt(jnp.maximum(sq_t, 1e-20)) / sigma, 0.0
+    ).T.reshape(tn, j, k)  # (TN, J, K)
 
     sfb = sf_ref[...].astype(MXU_DTYPE)
 

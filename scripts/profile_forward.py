@@ -13,7 +13,10 @@ jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 
 from geotransformer_tpu.configs import make_3dmatch_config, make_kitti_config
-from geotransformer_tpu.preprocess import build_pyramid, pad_registration_batch, caps_for_pyramid
+from geotransformer_tpu.preprocess import (
+    build_pyramid, pad_registration_batch, caps_for_pyramid,
+    fit_split_for_table,
+)
 from geotransformer_tpu.models import create_model
 
 parser = argparse.ArgumentParser()
@@ -40,8 +43,16 @@ pyr = build_pyramid(points, lengths, cfg.backbone.num_stages,
 caps = tuple(caps_for_pyramid(pyr, multiple=256, per_cloud=True))
 cfg = cfg.with_caps(stage_caps=caps)
 feats = np.ones((points.shape[0], cfg.backbone.input_dim), np.float32)
+# same fitted splits as bench.py's primary metric
+base = pad_registration_batch(pyr, feats, np.eye(4, dtype=np.float32), caps)
+nb = [fit_split_for_table(np.asarray(t), np.asarray(t).shape[0])
+      for t in base["neighbors"]]
+sub = [fit_split_for_table(
+    np.asarray(t), np.asarray(base["neighbors"][i]).shape[0])
+    for i, t in enumerate(base["subsampling"])]
 batch = jax.tree.map(jnp.asarray, pad_registration_batch(
-    pyr, feats, np.eye(4, dtype=np.float32), caps))
+    pyr, feats, np.eye(4, dtype=np.float32), caps,
+    neighbor_splits=nb, subsampling_splits=sub))
 model = create_model(cfg)
 variables = jax.jit(lambda r, b: model.init(r, b, training=False, with_gt=False))(
     jax.random.PRNGKey(0), batch)
