@@ -64,17 +64,24 @@ def superpoint_matching(
         )
         matching_scores = ref_scores * src_scores
 
-    flat = jnp.where(pair_masks, matching_scores, -1.0).reshape(-1)
-    # lax.top_k over the flattened (M*N,) matrix lowers to a full sort on
-    # TPU (~4ms at 512x512); approx_max_k with recall_target=1.0 is exact
-    # and uses the PartialReduce fast path.
-    corr_scores, corr_indices = jax.lax.approx_max_k(
-        flat, num_correspondences, recall_target=1.0
+    masked = jnp.where(pair_masks, matching_scores, -1.0)
+    # Two-stage exact global top-k (same trick as LGR's two-stage top-C):
+    # a flat top-k over the (M*N,) matrix lowers to ONE full sort on TPU
+    # (2.75 ms at KITTI's 1536^2); every global top-k element is inside its
+    # row's top-k, so per-row approx_max_k (batched row sorts, recall 1.0 =
+    # exact) followed by a small flat top-k over (M, k) is exact and ~2x
+    # cheaper. Tie-breaking at the k-th score differs from the single sort
+    # only among equal scores (the reference's torch.topk order is
+    # unspecified there too).
+    kr = min(num_correspondences, n)
+    row_scores, row_idx = jax.lax.approx_max_k(masked, kr, recall_target=1.0)
+    corr_scores, sel = jax.lax.approx_max_k(
+        row_scores.reshape(-1), num_correspondences, recall_target=1.0
     )
     corr_masks = corr_scores > -1.0
     corr_scores = jnp.where(corr_masks, corr_scores, 0.0)
-    ref_corr_indices = corr_indices // n
-    src_corr_indices = corr_indices % n
+    ref_corr_indices = sel // kr
+    src_corr_indices = row_idx.reshape(-1)[sel]
     return ref_corr_indices, src_corr_indices, corr_scores, corr_masks
 
 
