@@ -34,10 +34,20 @@ nb_splits = [fit_split_for_table(np.asarray(t), np.asarray(t).shape[0])
 sub_splits = [fit_split_for_table(
     np.asarray(t), np.asarray(base["neighbors"][i]).shape[0])
     for i, t in enumerate(base["subsampling"])]
+tmp = pad_registration_batch(
+    pyr, feats, np.eye(4, dtype=np.float32), caps,
+    inverse_limits=cfg.caps.inverse_limits,
+    neighbor_splits=nb_splits, subsampling_splits=sub_splits)
+inv_splits = [fit_split_for_table(np.asarray(t), np.asarray(t).shape[0])
+              for t in tmp["neighbors_inv"]]
+sub_inv_splits = [fit_split_for_table(
+    np.asarray(t), np.asarray(tmp["neighbors"][i + 1]).shape[0])
+    for i, t in enumerate(tmp["subsampling_inv"])]
 batch = jax.tree.map(jnp.asarray, pad_registration_batch(
     pyr, feats, np.eye(4, dtype=np.float32), caps,
     inverse_limits=cfg.caps.inverse_limits,
-    neighbor_splits=nb_splits, subsampling_splits=sub_splits))
+    neighbor_splits=nb_splits, subsampling_splits=sub_splits,
+    inverse_splits=inv_splits, sub_inverse_splits=sub_inv_splits))
 targets = jax.jit(lambda b: precompute_gt_targets(cfg, b, use_pallas=True))(batch)
 batch = dict(batch, **targets)
 model = create_model(cfg)
