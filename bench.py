@@ -195,10 +195,12 @@ def main():
     # backward inverse tables carry even larger shadow fractions (in-degree
     # capacity ~3x the mean in-degree) — split them too
     inv_splits = [fit_split_for_table(
-        np.asarray(t), np.asarray(t).shape[0]) for t in train_np["neighbors_inv"]]
+        np.asarray(t), np.asarray(t).shape[0], align=8)
+        for t in train_np["neighbors_inv"]]
     # sub-inverse sentinel is the NEXT stage's (query-side) row count
     sub_inv_splits = [fit_split_for_table(
-        np.asarray(t), np.asarray(train_np["neighbors"][i + 1]).shape[0])
+        np.asarray(t), np.asarray(train_np["neighbors"][i + 1]).shape[0],
+        align=8)
         for i, t in enumerate(train_np["subsampling_inv"])]
     train_batch = jax.tree.map(jnp.asarray, pad_registration_batch(
         pyramid, feats, np.eye(4, dtype=np.float32), caps,

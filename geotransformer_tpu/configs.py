@@ -154,6 +154,52 @@ class CapsConfig:
 
 
 @dataclass(frozen=True)
+class PrecisionConfig:
+    """Kernel numeric knobs — the config-selected precision point.
+
+    Values are dtype names ("bfloat16" / "float32"). The Pallas kernels
+    read these as module globals at trace time, so a config is applied
+    PROCESS-WIDE: :func:`geotransformer_tpu.models.create_model` and the
+    loader's ``prepare_pair`` both call :func:`apply_precision` (the
+    gathered-table column alignment must match between the host batch
+    build and the kernel trace — kernels/kpconv.table_align). Defaults are
+    the measured sweet spot (scripts/bf16_drift.py: 0.042 deg / 0.54 mm
+    excess registration error at 2000 trained steps vs the all-f32 XLA
+    path, budget 0.5 deg / 5 mm).
+
+    kpconv_table: storage dtype of the gathered KPConv neighbor tables.
+        Default f32: the XLA gather engine is row-rate-bound (~1.85 ns/row
+        regardless of row bytes — measured round 4), so bf16 tables save
+        nothing on the gather and slow the kernel's block reads ~25%.
+        The bf16 path stays exact-class (hi/mid/lo coordinate split) for
+        configs where memory, not gather rate, binds.
+    kpconv_mxu: KPConv influence/feature contraction inputs (the class
+        XLA itself picks for f32 matmuls at default precision).
+    gse_basis: GSE sin/cos bases + projection weights.
+    gse_embed: GSE output embedding storage (re-read by every RPE layer).
+    """
+
+    kpconv_table: str = "float32"
+    kpconv_mxu: str = "bfloat16"
+    gse_basis: str = "bfloat16"
+    gse_embed: str = "bfloat16"
+
+
+def apply_precision(precision: PrecisionConfig) -> None:
+    """Install a :class:`PrecisionConfig` into the kernel modules
+    (process-wide; see the class docstring)."""
+    import jax.numpy as jnp
+
+    from geotransformer_tpu.kernels import gse, kpconv
+
+    dt = {"bfloat16": jnp.bfloat16, "float32": jnp.float32}
+    kpconv.TABLE_DTYPE = dt[precision.kpconv_table]
+    kpconv.MXU_DTYPE = dt[precision.kpconv_mxu]
+    gse.BASIS_DTYPE = dt[precision.gse_basis]
+    gse.EMBED_DTYPE = dt[precision.gse_embed]
+
+
+@dataclass(frozen=True)
 class GeoTransformerConfig:
     seed: int = 7351
     dataset: str = "3dmatch"
@@ -168,6 +214,7 @@ class GeoTransformerConfig:
     eval: EvalConfig = field(default_factory=EvalConfig)
     optim: OptimConfig = field(default_factory=OptimConfig)
     caps: CapsConfig = field(default_factory=CapsConfig)
+    precision: PrecisionConfig = field(default_factory=PrecisionConfig)
 
     @property
     def first_fine_stage(self):

@@ -15,8 +15,9 @@ features — and performs the whole convolution in VMEM:
 
 Only the gathered block (read once) and the (M, C_out) result touch HBM.
 
-Layout: the gather input G has lanes [s_hi(3), s_lo(3), posflag, 0,
-feats...] so the aug part occupies lanes [0, 8) and features [8, 8+C);
+Layout: the gather input G has lanes [s_hi(3), s_mid(3), s_lo(3), posflag,
+0(2), feats...] so the aug part occupies lanes [0, _AUG) and features
+[_AUG, _AUG+C);
 a strided block's pool features ride the same gather after the conv
 features (the XLA gather engine cost is per ROW, so extra lanes are free,
 while a separate maxpool gather would pay the full row cost again).
@@ -27,13 +28,13 @@ Streaming cost model (measured, stage-0 shapes): both the gather and the
 kernel's read of the gathered block cost ~rows x one padded tile-row
 (512 B f32 / 256 B bf16, ~290 GB/s; LOGICAL width <= 128 is irrelevant),
 i.e. ~2.5 ms per 1.4M-row stage-0 table on each side. TABLE_DTYPE=bf16
-(with hi/lo-split coordinates so the offsets-first geometry stays
-f32-exact, and the posflag lane keeping the neighbor count exact) was
-built to halve the kernel read — MEASURED WORSE end-to-end (4.62 vs
-4.33 ms gather+kernel): H=40 is not a multiple of bf16's 16-row tile, so
-XLA inserts a relayout between the (E, W) gather output and the
-(M, H, W) kernel view that costs more than the read saves. The switch is
-kept for configs whose padded H is 16-aligned; default f32.
+(hi/mid/lo-split coordinates keep the offsets-first geometry f32-class
+exact, the posflag lane keeps the neighbor count exact) halves both
+sides — PROVIDED the neighbor axis is padded to bf16's 16-row sublane
+tile (table_align): a round-3 experiment with H=40 tables measured bf16
+WORSE (4.62 vs 4.33 ms gather+kernel) purely from the relayout XLA
+inserts between the (E, W) gather output and the (M, H, W) kernel view
+when H is not 16-aligned.
 
 The posflag lane is a win in its own right: the reference's neighbor
 count (#neighbors with positive feature sum, kpconv.py:113-116) is
@@ -53,11 +54,37 @@ from geotransformer_tpu.ops.gather import gather_with_shadow
 # MXU input dtype for the influence/feature contractions (module-level so
 # drift studies / configs can flip it to f32).
 MXU_DTYPE = jnp.bfloat16
-# Storage dtype of the gathered forward tables (see module docstring:
-# bf16 measured WORSE on H=40 tables due to a 16-row-tile relayout).
+# Storage dtype of the gathered forward tables. MEASURED (round 4, demo
+# pair, 16-aligned H so no relayout): bf16 tables do NOT pay off — the XLA
+# gather fusion costs ~1.85 ns per row INDEPENDENT of row bytes (2.10 ms
+# for 1.13M bf16 rows vs 2.04 ms f32; the engine is row-rate-bound, not
+# bandwidth-bound), while the Pallas kernel gets ~25% SLOWER on bf16 blocks
+# (per-element unpack + the count path's whole-block f32 cast):
+# 47.1 pairs/s end-to-end vs 50.8 at f32. The bf16 path is kept correct
+# (hi/mid/lo coordinate split, exact posflag counts, 16-row table_align)
+# and selectable via configs.PrecisionConfig(kpconv_table="bfloat16") for
+# configs where VMEM pressure, not gather rate, binds.
 TABLE_DTYPE = jnp.float32
 
-_AUG = 8  # lanes reserved for [s_hi(3), s_lo(3), posflag(1), padding(1)]
+
+def table_align():
+    """Neighbor-axis alignment for gathered forward tables.
+
+    The (E, W) gather output and its (M, H, W) kernel view share a physical
+    layout only when H is a multiple of the table dtype's sublane tile
+    (8 rows f32, 16 rows bf16); otherwise XLA materializes a relayout copy
+    of the whole gathered block.
+    """
+    return 16 if TABLE_DTYPE == jnp.bfloat16 else 8
+
+
+# lanes reserved for [s_hi(3), s_mid(3), s_lo(3), posflag(1), padding(2)].
+# Coordinates are a THREE-way bf16 split (8 mantissa bits each, ~24 total —
+# f32-class) so bf16 tables stay exact on large (KITTI-scale) coordinates;
+# a two-way split measured 5e-3 relative feature error at offset 1e3. f32
+# tables store the exact coordinate in hi and zeros in mid/lo. Lanes are
+# free: gather/read cost is per padded 128-lane tile row.
+_AUG = 12
 
 
 def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
@@ -86,22 +113,24 @@ def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
     # the posflag lane carries (feat_sum > 0) computed host/XLA-side in f32,
     # exact regardless of table dtype). Computed BEFORE any lane extraction:
     # summing the whole block over h is a lane-preserving sublane reduction,
-    # then lane 6 of the (TM, AUG+C) result is the posflag sum. Extracting
+    # then lane 9 of the (TM, AUG+C) result is the posflag sum. Extracting
     # the (TM, H) posflag plane first puts H on the lane axis — a relayout
     # Mosaic charges ~0.4 ms per stage-0 conv for (measured; the old layout
     # hid it inside the equally bad (TM, H, K) influence ops). Unnormalized
     # (split) passes emit the RAW count: the split combine clamps once after
     # summing both passes — a per-pass clamp would inflate the denominator
     # whenever one pass has zero positive-flag neighbors.
-    count_raw = jnp.sum(g.astype(jnp.float32), axis=1)[:, 6]  # (TM,)
+    count_raw = jnp.sum(g.astype(jnp.float32), axis=1)[:, 9]  # (TM,)
     count = jnp.maximum(count_raw, 1.0) if normalize else count_raw
 
-    # hi/lo coordinate reconstruction (f32 tables store exact coords in hi
-    # and zeros in lo — skip the add there).
+    # hi/mid/lo coordinate reconstruction (f32 tables store exact coords in
+    # hi and zeros in mid/lo — skip the adds there).
     if g.dtype == jnp.float32:
         sp = g[:, :, :3]
     else:
-        sp = g[:, :, :3].astype(jnp.float32) + g[:, :, 3:6].astype(jnp.float32)
+        sp = (g[:, :, :3].astype(jnp.float32)
+              + g[:, :, 3:6].astype(jnp.float32)
+              + g[:, :, 6:9].astype(jnp.float32))
     nf = g[:, :, _AUG : _AUG + c_in]  # (TM, H, C) TABLE_DTYPE
     qp = q[:, :3]  # (TM, 3)
     tm, h = sp.shape[0], sp.shape[1]
@@ -224,32 +253,35 @@ def kpconv_fused(
     k, c_in, c_out = weights.shape
     c_pool = 0 if pool_feats is None else pool_feats.shape[1]
 
-    # Pad the neighbor axis to a sublane multiple (8) with shadow indices:
-    # otherwise the (M*H, C) gather output and its (M, H, C) view have
-    # different physical layouts (H pads to the next multiple of 8) and XLA
+    # Pad the neighbor axis to the table dtype's sublane tile with shadow
+    # indices (see table_align): otherwise the (M*H, C) gather output and
+    # its (M, H, C) view have different physical layouts and XLA
     # materializes a full relayout copy of the gathered block.
+    align = table_align()
     h = neighbor_indices.shape[1]
-    h_pad = -(-h // 8) * 8
+    h_pad = -(-h // align) * align
     if h_pad != h:
         neighbor_indices = jnp.pad(
             neighbor_indices, ((0, 0), (0, h_pad - h)),
             constant_values=s_points.shape[0],
         )
 
-    # Combined gather: [s_hi(3), s_lo(3), posflag(1), pad(1), feats(C)
-    # [, pool(Cp)]] stored at TABLE_DTYPE (see module docstring).
+    # Combined gather: [s_hi(3), s_mid(3), s_lo(3), posflag(1), pad(2),
+    # feats(C) [, pool(Cp)]] stored at TABLE_DTYPE (see module docstring).
     td = TABLE_DTYPE
     if td == jnp.float32:
-        hi, lo = s_points, jnp.zeros_like(s_points)
+        hi = s_points
+        mid = lo = jnp.zeros_like(s_points)
     else:
         hi = s_points.astype(td).astype(jnp.float32)
-        lo = s_points - hi
+        mid = (s_points - hi).astype(td).astype(jnp.float32)
+        lo = s_points - hi - mid
     posflag = (jnp.sum(s_feats, axis=-1, keepdims=True) > 0.0).astype(
         jnp.float32
     )
     aug_parts = [
-        hi, lo, posflag,
-        jnp.zeros((s_points.shape[0], _AUG - 7), jnp.float32),
+        hi, mid, lo, posflag,
+        jnp.zeros((s_points.shape[0], _AUG - 10), jnp.float32),
         s_feats,
     ]
     if pool_feats is not None:
@@ -361,9 +393,11 @@ def _influence_and_count_from_gathered(g, q_points, kernel_points, sigma, c_in):
     if g.dtype == jnp.float32:
         sp = g[:, :, :3]
     else:
-        sp = g[:, :, :3].astype(jnp.float32) + g[:, :, 3:6].astype(jnp.float32)
+        sp = (g[:, :, :3].astype(jnp.float32)
+              + g[:, :, 3:6].astype(jnp.float32)
+              + g[:, :, 6:9].astype(jnp.float32))
     nf = g[:, :, _AUG : _AUG + c_in].astype(jnp.float32)
-    posflag = g[:, :, 6].astype(jnp.float32)
+    posflag = g[:, :, 9].astype(jnp.float32)
     # Offsets-first, mirroring _kpconv_kernel: small-magnitude matmul
     # operands keep TPU-default bf16 matmul error negligible (bf16 dots on
     # absolute coordinates measured ~12% trained-feature drift).
@@ -620,6 +654,14 @@ def kpconv_bwd_fused(
         kernel_points: (K, 3); weights: (K, C_in, C_out).
         pool_feats / pooled / dpool_over_ties: optional (N, C_p) / (M, C_p) /
             (M, C_p) for the fused strided-shortcut maxpool backward.
+            CONTRACT: the forward's pool must have covered every real edge
+            of the table (pool_cols = the true neighbor limit, with wider
+            columns sentinel-only — the production batches' invariant).
+            This backward attributes pool gradient by value equality per
+            inverse edge and cannot tell which COLUMN an edge came from, so
+            a real edge beyond pool_cols would wrongly receive gradient
+            whenever its value ties the pooled max (ties are common with
+            TABLE_DTYPE=bf16 pool lanes).
     """
     if isinstance(inverse_table, (tuple, list)):
         head, tail, tail_s, rank = inverse_table

@@ -368,4 +368,9 @@ class GeoTransformer(nn.Module):
 
 
 def create_model(cfg: GeoTransformerConfig) -> GeoTransformer:
+    from geotransformer_tpu.configs import apply_precision
+
+    # install the config's kernel precision point (process-wide; the
+    # PrecisionConfig docstring explains why these are module globals)
+    apply_precision(cfg.precision)
     return GeoTransformer(cfg)

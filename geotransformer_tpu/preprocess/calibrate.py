@@ -9,7 +9,9 @@ pipeline needs for padding buckets.
 
 import numpy as np
 
-from geotransformer_tpu.preprocess.pyramid import build_pyramid, round_up
+from geotransformer_tpu.preprocess.pyramid import (
+    build_pyramid, round_up, table_align,
+)
 
 
 def calibrate_neighbor_limits(
@@ -166,7 +168,8 @@ def calibrate_split_specs(
         ``multiple``; overflow at batch build raises ValueError like
         every other capacity.
     """
-    nb_w = [round_up(int(l), 8) for l in neighbor_limits]
+    align = table_align()
+    nb_w = [round_up(int(l), align) for l in neighbor_limits]
     nb_m2 = [dict() for _ in range(num_stages)]
     sub_m2 = [dict() for _ in range(max(num_stages - 1, 0))]
     nb_rows = [0] * num_stages
@@ -187,7 +190,7 @@ def calibrate_split_specs(
             for i, table in enumerate(tables):
                 vc = np.sum(table < totals[supports[i]], axis=1)
                 rows[i] = max(rows[i], len(vc))
-                for h1 in range(8, nb_w[supports[i]], 8):
+                for h1 in range(align, nb_w[supports[i]], align):
                     m2 = int(np.sum(vc > h1))
                     m2s[i][h1] = max(m2s[i].get(h1, 0), m2)
 

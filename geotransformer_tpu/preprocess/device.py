@@ -172,32 +172,210 @@ def _radius_search_cloud(q_points, n_q, s_points, n_s, radius, k, block=512):
     return jnp.where(q_valid[:, None], out, sentinel)
 
 
+def _radius_search_cloud_grid(q_points, n_q, s_points, n_s, radius, k,
+                              cand_cap=512, grid_cap=1 << 20, block=512):
+    """Exact fixed-K radius KNN via a voxel grid, one capacity-padded pair.
+
+    The device mirror of the reference's grid-binned CPU search
+    (`/root/reference/geotransformer/extensions/cpu/radius_neighbors/radius_neighbors_cpu.cpp:29-87`
+    via our `native/geolib.cpp` reimplementation): bin support points into
+    cells of edge ``radius``, sort by flat cell id, and per query examine
+    only the 27 neighbor cells — 9 contiguous x-runs of the sorted order.
+    This changes the complexity class from the brute-force O(C_q * C_s)
+    sort to O(C_q * W): gathered candidates per query are bounded by the
+    static ``cand_cap`` instead of the whole cloud.
+
+    Numerics match the host path bit-for-bit: d^2 is the direct f32
+    coordinate difference (geolib.cpp:203-206) and selection orders by the
+    lexicographic (d^2, original index) key (geolib.cpp:213-217), so ties
+    resolve identically.
+
+    Args:
+        q_points: (C_q, 3) float32 (PAD rows beyond n_q are fine).
+        s_points: (C_s, 3) float32.
+        n_q, n_s: scalar int32 valid counts.
+        radius: static float search radius (= grid cell edge).
+        k: static neighbor capacity.
+        cand_cap: static per-query candidate capacity (27-cell population
+            bound — calibrate like every other cap; overflow is reported,
+            not silently truncated).
+        grid_cap: static dense cell-table capacity (flat nx*ny*nz bound).
+        block: static query rows per tile.
+
+    Returns:
+        ((C_q, k) int32 indices, overflow bool scalar) — overflow is True
+        when any query's 27-cell candidate count exceeds ``cand_cap`` or
+        the cloud needs more than ``grid_cap`` cells (caller falls back /
+        escalates, like every capacity contract here).
+    """
+    cap_q, cap_s = q_points.shape[0], s_points.shape[0]
+    sentinel = jnp.int32(cap_s)
+    edge = jnp.float32(radius)
+    r2 = jnp.float32(radius) * jnp.float32(radius)
+    s_valid = jnp.arange(cap_s) < n_s
+    s_masked = jnp.where(s_valid[:, None], s_points, PAD_COORD)
+
+    # --- support grid (valid extent only; empty cloud -> zero-size grid) ---
+    vmin = jnp.min(jnp.where(s_valid[:, None], s_points, jnp.inf), axis=0)
+    vmax = jnp.max(jnp.where(s_valid[:, None], s_points, -jnp.inf), axis=0)
+    origin = jnp.where(n_s > 0, jnp.floor(vmin / edge) * edge, 0.0)
+    dims = jnp.where(
+        n_s > 0,
+        jnp.floor((jnp.where(n_s > 0, vmax, 0.0) - origin) / edge).astype(
+            jnp.int32) + 1,
+        0,
+    )  # (3,) cells per axis
+    nx, ny, nz = dims[0], dims[1], dims[2]
+    num_cells = nx * ny * nz  # int32; overflow guarded below
+    grid_overflow = (
+        (num_cells > grid_cap)
+        | (num_cells < 0)  # int32 wraparound on pathological extents
+        | (nx.astype(jnp.float32) * ny.astype(jnp.float32)
+           * nz.astype(jnp.float32) > jnp.float32(2**31 - 1))
+    )
+
+    cell = jnp.floor(
+        (jnp.where(s_valid[:, None], s_points, origin) - origin) / edge
+    ).astype(jnp.int32)  # (C_s, 3), zeros on padding rows
+    flat = cell[:, 0] + nx * (cell[:, 1] + ny * cell[:, 2])
+    flat = jnp.where(s_valid, flat, grid_cap)  # padding -> one-past-last cell
+
+    # sort support rows by cell id; stable, so within a cell the original
+    # index order survives (the host's pidx tie order)
+    flat_sorted, perm = jax.lax.sort(
+        (flat, jnp.arange(cap_s, dtype=jnp.int32)), num_keys=1)
+    # dense CSR starts over the flat grid (cheap: one scatter-add + cumsum)
+    counts = jax.ops.segment_sum(
+        jnp.ones((cap_s,), jnp.int32), flat, num_segments=grid_cap + 1)
+    starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(counts[:grid_cap])])
+    # one gathered row per candidate: [x, y, z, original index] — the index
+    # rides the coordinate gather as f32 (exact to 2^24)
+    s_aug = jnp.concatenate(
+        [s_masked[perm], perm[:, None].astype(jnp.float32)], axis=1)
+
+    cap_q_pad = round_up(cap_q, block)
+    # pad with PAD_COORD (NOT zeros): a zero-coordinate pad row could land
+    # inside a dense cell and spuriously trip the candidate-overflow flag
+    q_pad = jnp.pad(q_points, ((0, cap_q_pad - cap_q), (0, 0)),
+                    constant_values=PAD_COORD)
+    q_blocks = q_pad.reshape(cap_q_pad // block, block, 3)
+    k_eff = min(k, cand_cap)
+
+    dydz = [(dy, dz) for dz in (-1, 0, 1) for dy in (-1, 0, 1)]
+
+    def one_block(q_blk):
+        cq = jnp.floor((q_blk - origin) / edge).astype(jnp.int32)  # (B, 3)
+        los, his = [], []
+        for dy, dz in dydz:
+            cy = cq[:, 1] + dy
+            cz = cq[:, 2] + dz
+            row_ok = (cy >= 0) & (cy < ny) & (cz >= 0) & (cz < nz)
+            x0 = jnp.clip(cq[:, 0] - 1, 0, nx)
+            x1 = jnp.clip(cq[:, 0] + 2, x0, nx)
+            base = nx * (jnp.where(row_ok, cy, 0)
+                         + ny * jnp.where(row_ok, cz, 0))
+            a = jnp.where(row_ok, base + x0, 0)
+            b = jnp.where(row_ok, base + x1, 0)
+            a = jnp.clip(a, 0, grid_cap)
+            b = jnp.clip(b, a, grid_cap)
+            los.append(starts[a])
+            his.append(starts[b])
+        lo9 = jnp.stack(los, axis=1)  # (B, 9) first sorted row of each run
+        hi9 = jnp.stack(his, axis=1)
+        len9 = hi9 - lo9
+        offs = jnp.cumsum(len9, axis=1) - len9  # exclusive (B, 9)
+        total = offs[:, -1] + len9[:, -1]  # (B,)
+        ovf = jnp.any(total > cand_cap)
+
+        w = jnp.arange(cand_cap, dtype=jnp.int32)[None, :]  # (1, W)
+        run = jnp.sum(
+            (offs[:, :, None] <= w[:, None, :]).astype(jnp.int32), axis=1
+        ) - 1  # (B, W) which run the slot falls in
+        run = jnp.clip(run, 0, 8)
+        pos = (jnp.take_along_axis(lo9, run, axis=1)
+               + (w - jnp.take_along_axis(offs, run, axis=1)))
+        slot_ok = w < total[:, None]
+        pos = jnp.clip(jnp.where(slot_ok, pos, 0), 0, cap_s - 1)
+
+        cand = s_aug[pos]  # (B, W, 4) gather — the dominant cost
+        diff = cand[:, :, :3] - q_blk[:, None, :]
+        d2 = (diff[:, :, 0] * diff[:, :, 0]
+              + diff[:, :, 1] * diff[:, :, 1]
+              + diff[:, :, 2] * diff[:, :, 2])  # host-exact f32 (geolib.cpp)
+        idx = cand[:, :, 3].astype(jnp.int32)
+        keep = slot_ok & (d2 <= r2)
+        d2_key = jnp.where(keep, d2, jnp.inf)
+        idx_key = jnp.where(keep, idx, sentinel)
+        # lexicographic (d2, index) selection — the host's pair sort
+        d2_sorted, idx_sorted = jax.lax.sort(
+            (d2_key, idx_key), num_keys=2)
+        found = jnp.where(
+            d2_sorted[:, :k_eff] <= r2, idx_sorted[:, :k_eff], sentinel)
+        if k_eff < k:
+            found = jnp.pad(found, ((0, 0), (0, k - k_eff)),
+                            constant_values=sentinel)
+        return found, ovf
+
+    out, ovf = jax.lax.map(one_block, q_blocks)
+    out = out.reshape(cap_q_pad, k)[:cap_q]
+    q_valid = jnp.arange(cap_q) < n_q
+    out = jnp.where(q_valid[:, None], out, sentinel)
+    return out, jnp.any(ovf) | grid_overflow
+
+
 def _to_pair_frame(idx, cloud, cap_s):
     """Per-cloud indices (+sentinel cap_s) -> padded pair frame (+sentinel 2*cap_s)."""
     return jnp.where(idx == cap_s, 2 * cap_s, cloud * cap_s + idx).astype(jnp.int32)
 
 
-def _pad_cols(table, sentinel):
-    """Static sublane (8) column padding, mirroring pyramid._pad_cols_to_sublane."""
+def _pad_cols(table, sentinel, multiple=None):
+    """Static sublane-tile column padding, mirroring
+    pyramid._pad_cols_to_sublane (default: the forward-table alignment —
+    16 for bf16 tables; pass 8 for f32-gathered tables like the inverses)."""
+    if multiple is None:
+        from geotransformer_tpu.preprocess.pyramid import table_align
+
+        multiple = table_align()
     k = table.shape[-1]
-    k_pad = round_up(k, 8)
+    k_pad = round_up(k, multiple)
     if k_pad == k:
         return table
     return jnp.pad(table, ((0, 0), (0, k_pad - k)), constant_values=sentinel)
 
 
+# Support capacity below which the brute-force search wins: small clouds
+# are cheap either way, the grid's fixed costs (cell sort + CSR cumsum)
+# dominate, and brute force has no candidate capacity to overflow.
+_GRID_MIN_SUPPORT = 2048
+
+
 def _pair_search(points_a, lengths_a, points_b, lengths_b, cap_a, cap_b,
-                 radius, k):
+                 radius, k, cand_cap=512):
     """Radius KNN for both clouds of a pair, emitted in the padded pair frame.
 
     ``points_a`` are queries (2, cap_a, 3); ``points_b`` supports.
+    Dispatches on the static support capacity: >= _GRID_MIN_SUPPORT uses
+    the grid-binned search (O(Q * cand_cap)), below it the brute-force
+    search (O(Q * C_s) but tiny, and immune to candidate density).
+    Returns (table (2*cap_a, K_padded), overflow bool scalar) — overflow
+    from the grid search's candidate/grid capacities (see
+    :func:`_radius_search_cloud_grid`; always False on the brute path).
     """
-    idx = jax.vmap(
-        lambda q, nq, s, ns: _radius_search_cloud(q, nq, s, ns, radius, k)
-    )(points_a, lengths_a, points_b, lengths_b)
+    if cap_b >= _GRID_MIN_SUPPORT:
+        idx, ovf = jax.vmap(
+            lambda q, nq, s, ns: _radius_search_cloud_grid(
+                q, nq, s, ns, radius, k, cand_cap=cand_cap)
+        )(points_a, lengths_a, points_b, lengths_b)
+        ovf = jnp.any(ovf)
+    else:
+        idx = jax.vmap(
+            lambda q, nq, s, ns: _radius_search_cloud(q, nq, s, ns, radius, k)
+        )(points_a, lengths_a, points_b, lengths_b)
+        ovf = jnp.zeros((), bool)
     idx = jax.vmap(lambda t, c: _to_pair_frame(t, c, cap_b))(
         idx, jnp.arange(2, dtype=jnp.int32))
-    return _pad_cols(idx.reshape(2 * cap_a, k), jnp.int32(2 * cap_b))
+    return _pad_cols(idx.reshape(2 * cap_a, k), jnp.int32(2 * cap_b)), ovf
 
 
 def build_inverse_table_device(table, num_support, j_cap):
@@ -238,11 +416,12 @@ def build_inverse_table_device(table, num_support, j_cap):
     jax.jit,
     static_argnames=(
         "num_stages", "voxel_size", "radius", "neighbor_limits", "stage_caps",
-        "inverse_limits", "sub_inverse_limits"),
+        "inverse_limits", "sub_inverse_limits", "knn_cand_cap"),
 )
 def build_pyramid_device(points, lengths, feats, transform, num_stages,
                          voxel_size, radius, neighbor_limits, stage_caps,
-                         inverse_limits=None, sub_inverse_limits=None):
+                         inverse_limits=None, sub_inverse_limits=None,
+                         knn_cand_cap=512):
     """Full fixed-capacity pyramid build on device.
 
     Mirrors host ``build_pyramid`` + ``pad_registration_batch``
@@ -306,17 +485,23 @@ def build_pyramid_device(points, lengths, feats, transform, num_stages,
         out["masks"].append(
             (jnp.arange(cap)[None, :] < stage_lens[i][:, None]).reshape(2 * cap))
         out["lengths"].append(stage_lens[i])
-        out["neighbors"].append(_pair_search(
+        nbrs, ov = _pair_search(
             stage_pts[i], stage_lens[i], stage_pts[i], stage_lens[i],
-            cap, cap, r, int(neighbor_limits[i])))
+            cap, cap, r, int(neighbor_limits[i]), cand_cap=knn_cand_cap)
+        out["neighbors"].append(nbrs)
+        overflow[i] = overflow[i] | ov
         if i < num_stages - 1:
             cap_sub = int(stage_caps[i + 1])
-            out["subsampling"].append(_pair_search(
+            sub, ov = _pair_search(
                 stage_pts[i + 1], stage_lens[i + 1], stage_pts[i], stage_lens[i],
-                cap_sub, cap, r, int(neighbor_limits[i])))
-            out["upsampling"].append(_pair_search(
+                cap_sub, cap, r, int(neighbor_limits[i]), cand_cap=knn_cand_cap)
+            out["subsampling"].append(sub)
+            up, ov2 = _pair_search(
                 stage_pts[i], stage_lens[i], stage_pts[i + 1], stage_lens[i + 1],
-                cap, cap_sub, r * 2.0, int(neighbor_limits[i + 1])))
+                cap, cap_sub, r * 2.0, int(neighbor_limits[i + 1]),
+                cand_cap=knn_cand_cap)
+            out["upsampling"].append(up)
+            overflow[i] = overflow[i] | ov | ov2
         r *= 2.0
 
     if inverse_limits is not None:
@@ -329,13 +514,13 @@ def build_pyramid_device(points, lengths, feats, transform, num_stages,
             rows = out["neighbors"][i].shape[0]
             inv, ov = build_inverse_table_device(
                 out["neighbors"][i], rows, int(inverse_limits[i]))
-            out["neighbors_inv"].append(_pad_cols(inv, jnp.int32(rows)))
+            out["neighbors_inv"].append(_pad_cols(inv, jnp.int32(rows), 8))
             overflow[i] = overflow[i] | ov
             if i < num_stages - 1:
                 inv, ov = build_inverse_table_device(
                     out["subsampling"][i], rows, int(sub_inverse_limits[i]))
                 out["subsampling_inv"].append(_pad_cols(
-                    inv, jnp.int32(out["subsampling"][i].shape[0])))
+                    inv, jnp.int32(out["subsampling"][i].shape[0]), 8))
                 overflow[i] = overflow[i] | ov
 
     out["features"] = jnp.where(

@@ -125,6 +125,12 @@ def prepare_pair(
     Expects `sample` with 'ref_points', 'src_points' (N, 3) float arrays,
     'transform' (4, 4), and optionally 'ref_feats'/'src_feats'.
     """
+    if model_cfg is not None:
+        # worker processes must pad tables to the config's precision point
+        # (bf16 gathered tables need 16-aligned columns — configs.py)
+        from geotransformer_tpu.configs import apply_precision
+
+        apply_precision(model_cfg.precision)
     ref_points = np.asarray(sample["ref_points"], np.float32)
     src_points = np.asarray(sample["src_points"], np.float32)
     points = np.concatenate([ref_points, src_points], axis=0)

@@ -214,20 +214,26 @@ def build_split_tables(table, num_support, h1, m2_cap):
     return tail, tail_q, rank
 
 
-def fit_split_for_table(table, num_support, multiple=128, min_saving=0.08):
+def fit_split_for_table(table, num_support, multiple=128, min_saving=0.08,
+                        align=None):
     """Pick a (h1, m2_cap) split for this table, or None when splitting
     saves less than ``min_saving`` of the gathered rows (the second kernel
     launch and combine-gather have fixed costs; measured on the demo pair,
     13% mean row saving across all stages nets a 6% end-to-end forward
     win, so the break-even sits below 8%).
 
-    Cost model: rows(h1) = M*h1 + M2(h1)*(H-h1); h1 sweeps multiples of 8.
+    Cost model: rows(h1) = M*h1 + M2(h1)*(H-h1); h1 sweeps multiples of
+    ``align`` (default the forward-table alignment — head and tail widths
+    must both stay sublane-tile aligned; pass align=8 when fitting INVERSE
+    tables, which the backward gathers at f32).
     """
+    if align is None:
+        align = table_align()
     table = np.asarray(table)
     m, h = table.shape
     valid = table < num_support
     best = (m * h, None)
-    for h1 in range(8, h, 8):
+    for h1 in range(align, h, align):
         m2 = int(valid[:, h1:].any(axis=1).sum())
         m2_cap = max(round_up(m2, multiple), multiple)
         rows = m * h1 + m2_cap * (h - h1)
@@ -312,7 +318,8 @@ def pad_registration_batch(pyramid, feats, transform, stage_caps,
         out["subsampling"].append(_pad_cols_to_sublane(sub, sent_cur))
         up = _remap_indices(pyramid["upsampling"][i], ref_lens[i + 1], src_lens[i + 1], cap_sub)
         up = _pad_rows(up, ref_lens[i], src_lens[i], cap_cur, sent_sub)
-        out["upsampling"].append(_pad_cols_to_sublane(up, sent_sub))
+        # upsampling tables are gathered at f32 (nearest/knn interpolate)
+        out["upsampling"].append(_pad_cols_to_sublane(up, sent_sub, multiple=8))
 
     if inverse_limits is not None:
         if sub_inverse_limits is None:
@@ -335,10 +342,11 @@ def pad_registration_batch(pyramid, feats, transform, stage_caps,
 
         for i in range(num_stages):
             rows = out["neighbors"][i].shape[0]
+            # inverse tables drive f32 qg gathers in the backward kernel
             inv = _pad_cols_to_sublane(
                 build_inverse_table(
                     out["neighbors"][i], rows, int(inverse_limits[i])),
-                np.int32(rows))
+                np.int32(rows), multiple=8)
             out["neighbors_inv"].append(_maybe_split(
                 inv, rows,
                 None if inverse_splits is None else inverse_splits[i]))
@@ -348,7 +356,7 @@ def pad_registration_batch(pyramid, feats, transform, stage_caps,
                     build_inverse_table(
                         out["subsampling"][i], rows,
                         int(sub_inverse_limits[i])),
-                    np.int32(rows_sub))
+                    np.int32(rows_sub), multiple=8)
                 out["subsampling_inv"].append(_maybe_split(
                     sub_inv, rows_sub,
                     None if sub_inverse_splits is None
@@ -393,15 +401,28 @@ def round_up(value, multiple):
     return int(-(-value // multiple) * multiple)
 
 
-def _pad_cols_to_sublane(table, sentinel):
-    """Pad a neighbor table's column count to a multiple of 8 with sentinels.
+def table_align():
+    """Forward-table neighbor-axis alignment (kernels.kpconv.table_align):
+    8 rows for f32 tables, 16 for bf16. Lazy import so pure-host pyramid
+    builds in loader workers do not pay the pallas import unless needed."""
+    from geotransformer_tpu.kernels.kpconv import table_align as _ta
+
+    return _ta()
+
+
+def _pad_cols_to_sublane(table, sentinel, multiple=None):
+    """Pad a neighbor table's column count to a sublane-tile multiple with
+    sentinels (``multiple``: default the forward-table alignment; pass 8 for
+    tables only ever gathered at f32 — upsampling, inverse).
 
     Extra columns behave as shadow neighbors everywhere; aligning them to
-    the TPU sublane size here means no device-side jnp.pad + relayout per
+    the TPU sublane tile here means no device-side jnp.pad + relayout per
     convolution (see kernels/kpconv.py).
     """
+    if multiple is None:
+        multiple = table_align()
     h = table.shape[1]
-    h_pad = round_up(h, 8)
+    h_pad = round_up(h, multiple)
     if h_pad == h:
         return table
     out = np.full((table.shape[0], h_pad), sentinel, dtype=table.dtype)

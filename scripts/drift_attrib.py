@@ -5,9 +5,15 @@ Reuses the trained parameters cached by scripts/bf16_drift.py
 (/tmp/bf16_drift_params.pkl) and re-evaluates the Pallas inference path
 under each combination of the kernel precision knobs:
 
+  * kernels/kpconv.TABLE_DTYPE — gathered neighbor-table storage
   * kernels/kpconv.MXU_DTYPE   — KPConv influence/feature contraction inputs
   * kernels/gse.BASIS_DTYPE    — GSE sin/cos bases + projection weights
   * kernels/gse.EMBED_DTYPE    — GSE embedding output (read by every RPE layer)
+
+(The production entry point for these knobs is configs.PrecisionConfig /
+apply_precision; this script flips the module globals directly because it
+sweeps combinations — batches are built ONCE under the default 16-column
+table alignment, which is valid for both table dtypes.)
 
 reporting coarse/fine feature drift and matching overlap vs the f32 XLA
 reference for each, so the dominant drift source is identified by
@@ -59,14 +65,16 @@ def main():
 
     bf, f32 = jnp.bfloat16, jnp.float32
     combos = [
-        ("all-bf16 (current)", bf, bf, bf),
-        ("kpconv-f32", f32, bf, bf),
-        ("gse-basis-f32", bf, f32, bf),
-        ("gse-out-f32", bf, bf, f32),
-        ("gse-all-f32", bf, f32, f32),
-        ("all-f32", f32, f32, f32),
+        ("all-bf16 (current)", bf, bf, bf, bf),
+        ("table-f32", f32, bf, bf, bf),
+        ("kpconv-mxu-f32", bf, f32, bf, bf),
+        ("gse-basis-f32", bf, bf, f32, bf),
+        ("gse-out-f32", bf, bf, bf, f32),
+        ("gse-all-f32", bf, bf, f32, f32),
+        ("all-f32", f32, f32, f32, f32),
     ]
-    for name, mxu, basis, embed in combos:
+    for name, table, mxu, basis, embed in combos:
+        kpconv_kernels.TABLE_DTYPE = table
         kpconv_kernels.MXU_DTYPE = mxu
         gse_kernels.BASIS_DTYPE = basis
         gse_kernels.EMBED_DTYPE = embed
@@ -88,6 +96,7 @@ def main():
               f"  cos_med {worst['med']:.5f}  jaccard {worst['jac']:.3f}"
               f"  bits {digest:08x}",
               flush=True)
+    kpconv_kernels.TABLE_DTYPE = bf
     kpconv_kernels.MXU_DTYPE = bf
     gse_kernels.BASIS_DTYPE = bf
     gse_kernels.EMBED_DTYPE = bf

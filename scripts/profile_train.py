@@ -38,10 +38,11 @@ tmp = pad_registration_batch(
     pyr, feats, np.eye(4, dtype=np.float32), caps,
     inverse_limits=cfg.caps.inverse_limits,
     neighbor_splits=nb_splits, subsampling_splits=sub_splits)
-inv_splits = [fit_split_for_table(np.asarray(t), np.asarray(t).shape[0])
+inv_splits = [fit_split_for_table(np.asarray(t), np.asarray(t).shape[0],
+                                  align=8)
               for t in tmp["neighbors_inv"]]
 sub_inv_splits = [fit_split_for_table(
-    np.asarray(t), np.asarray(tmp["neighbors"][i + 1]).shape[0])
+    np.asarray(t), np.asarray(tmp["neighbors"][i + 1]).shape[0], align=8)
     for i, t in enumerate(tmp["subsampling_inv"])]
 batch = jax.tree.map(jnp.asarray, pad_registration_batch(
     pyr, feats, np.eye(4, dtype=np.float32), caps,

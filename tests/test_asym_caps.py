@@ -74,6 +74,7 @@ class TestAsymPadding:
 
 
 class TestAsymModelParity:
+    @pytest.mark.slow
     def test_forward_matches_symmetric(self, pair):
         cfg, pyr, feats = pair
         sym = tuple(caps_for_pyramid(pyr, multiple=64))

@@ -1,6 +1,7 @@
 """Model builds and runs for the KITTI (5-stage) and ModelNet (3-stage,
 fine level 0) architecture variants, at tiny capacities on CPU."""
 
+import pytest
 import dataclasses
 
 import numpy as np
@@ -58,6 +59,7 @@ def run_forward(cfg, batch):
 
 
 class TestKittiVariant:
+    @pytest.mark.slow
     def test_five_stage_forward(self):
         cfg = make_kitti_config()
         cfg = dataclasses.replace(

@@ -22,6 +22,8 @@ from geotransformer_tpu.engine import Tester as PairTester  # alias: pytest must
 from test_parallel import tiny_config
 from test_engine import SyntheticPairDataset, pipeline_cfg
 
+pytestmark = pytest.mark.slow  # multi-minute compiles/subprocesses
+
 
 def small_caps_cfg(stage_caps=(512, 128, 64)):
     cfg = tiny_config()

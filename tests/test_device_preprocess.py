@@ -88,6 +88,67 @@ class TestDeviceRadiusSearch:
         np.testing.assert_array_equal(got[:200, 0], np.arange(200))
 
 
+class TestDeviceGridRadiusSearch:
+    """Grid-binned exact KNN (_radius_search_cloud_grid) vs host.
+
+    Stricter than the brute-force tests above: the grid search mirrors the
+    host's d^2 arithmetic and (d^2, index) tie order bit-for-bit
+    (native/geolib.cpp), so rows must match exactly — no tie allowance."""
+
+    def test_matches_host_exact(self, rng):
+        from geotransformer_tpu.preprocess.device import (
+            _radius_search_cloud_grid,
+        )
+        q = make_cloud(rng, 300, 0, 1)
+        s = make_cloud(rng, 500, 0, 1)
+        want = np_radius_search(q, s, [300], [500], 0.15, 16)  # sentinel 500
+        qp = np.full((384, 3), 1e6, np.float32)
+        qp[:300] = q
+        sp = np.full((512, 3), 1e6, np.float32)
+        sp[:500] = s
+        got, ovf = _radius_search_cloud_grid(
+            jnp.asarray(qp), jnp.int32(300), jnp.asarray(sp), jnp.int32(500),
+            0.15, 16, cand_cap=256, block=128)
+        assert not bool(ovf)
+        got = np.asarray(got)
+        want = np.where(want == 500, 512, want)
+        np.testing.assert_array_equal(got[:300], want)
+        assert np.all(got[300:] == 512)
+
+    def test_self_first_and_empty(self, rng):
+        from geotransformer_tpu.preprocess.device import (
+            _radius_search_cloud_grid,
+        )
+        pts = make_cloud(rng, 200, 0, 1)
+        padded = np.full((256, 3), 1e6, np.float32)
+        padded[:200] = pts
+        got, ovf = _radius_search_cloud_grid(
+            jnp.asarray(padded), jnp.int32(200), jnp.asarray(padded),
+            jnp.int32(200), 0.3, 8, cand_cap=256, block=64)
+        assert not bool(ovf)
+        np.testing.assert_array_equal(np.asarray(got)[:200, 0], np.arange(200))
+        # empty support cloud: all sentinel, no overflow, no NaNs
+        got, ovf = _radius_search_cloud_grid(
+            jnp.asarray(padded), jnp.int32(200), jnp.asarray(padded),
+            jnp.int32(0), 0.3, 8, cand_cap=64, block=64)
+        assert not bool(ovf)
+        assert np.all(np.asarray(got) == 256)
+
+    def test_candidate_overflow_flag(self, rng):
+        from geotransformer_tpu.preprocess.device import (
+            _radius_search_cloud_grid,
+        )
+        # 300 points inside one radius-sized cell -> every query sees all
+        # of them as candidates; cand_cap=64 must flag, not truncate silently
+        pts = (rng.uniform(0, 0.09, (300, 3))).astype(np.float32)
+        padded = np.full((320, 3), 1e6, np.float32)
+        padded[:300] = pts
+        _, ovf = _radius_search_cloud_grid(
+            jnp.asarray(padded), jnp.int32(300), jnp.asarray(padded),
+            jnp.int32(300), 0.1, 8, cand_cap=64, block=64)
+        assert bool(ovf)
+
+
 class TestDevicePyramid:
     @pytest.fixture(scope="class")
     def pair(self):
@@ -209,6 +270,7 @@ class TestDeviceInverseTables:
 
 
 class TestDeviceBatchTraining:
+    @pytest.mark.slow
     def test_train_step_consumes_device_batch(self, rng):
         """End-to-end: pyramid + inverse tables built ON DEVICE feed a full
         training step — zero host preprocessing for training batches."""

@@ -93,6 +93,7 @@ class TestLoader:
 
 
 class TestTrainerAndTester:
+    @pytest.mark.slow
     def test_trainer_step_and_checkpoint(self, tmp_path):
         from geotransformer_tpu.models import create_model
         from geotransformer_tpu.engine import Trainer
@@ -195,6 +196,8 @@ class TestEvalScripts:
             )
         return str(tmp_path / "features")
 
+    @pytest.mark.slow
+
     def test_eval_dgr_runs(self, tmp_path):
         import subprocess, sys, os.path as osp
 
@@ -229,6 +232,8 @@ class TestEvalScripts:
         assert "RR: 1.0000" in r.stdout, r.stdout[-400:]
         assert "Per scene:" in r.stdout and "scene_a" in r.stdout
         assert "median_RRE" in r.stdout
+
+    @pytest.mark.slow
 
     def test_eval_script_method_switch(self, tmp_path):
         """--method {svd,ransac} re-estimates instead of reading the stored

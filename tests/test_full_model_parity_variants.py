@@ -27,6 +27,8 @@ from geotransformer_tpu.utils.convert import torch_state_dict_to_variables
 
 from test_full_model_parity import make_pair, torch_data_dict
 
+pytestmark = pytest.mark.slow  # full-model torch-reference parity, minutes each
+
 KITTI_DIR = "/root/reference/experiments/geotransformer.kitti.stage5.gse.k3.max.oacl.stage2.sinkhorn"
 MODELNET_DIR = "/root/reference/experiments/geotransformer.modelnet.rpmnet.stage4.gse.k3.max.oacl.stage2.sinkhorn"
 

@@ -5,7 +5,19 @@ import jax
 import jax.numpy as jnp
 
 from geotransformer_tpu.models.kpconv import KPConv
-from geotransformer_tpu.kernels.kpconv import kpconv_fused
+from geotransformer_tpu.kernels.kpconv import TABLE_DTYPE, kpconv_fused
+
+
+def _table_round(x):
+    """Round like the fused kernel's gathered-table storage (TABLE_DTYPE).
+
+    Straight-through for gradients: the Pallas backward distributes pool
+    gradients over ties of the ROUNDED values but never rounds cotangents,
+    so an XLA reference path must round values while keeping the gradient
+    an identity.
+    """
+    r = jnp.asarray(x).astype(TABLE_DTYPE).astype(jnp.float32)
+    return jnp.asarray(x) + jax.lax.stop_gradient(r - jnp.asarray(x))
 
 
 class TestKPConvFused:
@@ -48,7 +60,10 @@ class TestKPConvFused:
         center = np.asarray([65.0, -48.0, 7.0], np.float32)
         s_points = (rng.uniform(0, 1, (n, 3)) * 0.5 + center).astype(np.float32)
         q_points = (rng.uniform(0, 1, (m, 3)) * 0.5 + center).astype(np.float32)
-        s_feats = rng.normal(size=(n, cin)).astype(np.float32)
+        # TABLE_DTYPE-representable features so only geometry error remains
+        # (the gathered table stores features at TABLE_DTYPE by design)
+        s_feats = np.asarray(
+            _table_round(rng.normal(size=(n, cin)).astype(np.float32)))
         neighbors = rng.integers(0, n + 1, (m, h)).astype(np.int32)
         conv = KPConv(cin, cout, 15, 0.1, 0.08)
         variables = conv.init(
@@ -143,8 +158,11 @@ class TestKPConvPoolFused:
             variables, jnp.asarray(s_feats), jnp.asarray(q_points),
             jnp.asarray(s_points), jnp.asarray(neighbors),
         ))
+        # pool lanes ride the gathered table, so the fused kernel pools the
+        # TABLE_DTYPE-rounded values (rounding is monotone: max of rounded
+        # == rounded max)
         want_pool = np.asarray(
-            maxpool(jnp.asarray(pool_feats), jnp.asarray(neighbors), valid_cols=pool_cols)
+            maxpool(_table_round(pool_feats), jnp.asarray(neighbors), valid_cols=pool_cols)
         )
         got_conv, got_pool = kpconv_fused(
             jnp.asarray(s_feats), jnp.asarray(q_points), jnp.asarray(s_points),
@@ -177,7 +195,7 @@ class TestKPConvPoolFused:
                 {"constants": {"kernel_points": kp}, "params": {"weights": w}},
                 f, qp, sp, nb,
             )
-            pooled = maxpool(pf, nb, valid_cols=pool_cols)
+            pooled = maxpool(_table_round(pf), nb, valid_cols=pool_cols)
             return jnp.sum(out * cot_c) + jnp.sum(pooled * cot_p)
 
         def loss_fused(f, pf, w):
@@ -300,17 +318,28 @@ class TestInverseBackward:
         b = variables["params"]["bias"]
         pool = rng.normal(size=(s_points.shape[0], 20)).astype(np.float32)
 
+        # Production invariant required by the inverse pool backward: table
+        # columns >= pool_cols are sentinel (pool_cols is the TRUE neighbor
+        # limit; wider columns are alignment padding). The support-side
+        # backward attributes pool gradient by value equality and cannot
+        # know an edge's column (kernels/kpconv.kpconv_bwd_fused docstring).
+        pool_cols = 8
+        neighbors = neighbors.copy()
+        neighbors[:, pool_cols:] = s_points.shape[0]
+        from geotransformer_tpu.preprocess.pyramid import build_inverse_table
+        inv = build_inverse_table(neighbors, s_points.shape[0], inv.shape[1])
+
         def loss_old(sf, pf, w_, b_):
             out, pooled = kpconv_pool_fused_diff(
                 sf, pf, jnp.asarray(q_points), jnp.asarray(s_points),
-                jnp.asarray(neighbors), kp, w_, 0.08, b_, 64, 8)
+                jnp.asarray(neighbors), kp, w_, 0.08, b_, 64, pool_cols)
             return jnp.sum(jnp.sin(out)) + jnp.sum(jnp.cos(pooled))
 
         def loss_new(sf, pf, w_, b_):
             out, pooled = kpconv_pool_inv_fused_diff(
                 sf, pf, jnp.asarray(q_points), jnp.asarray(s_points),
                 jnp.asarray(neighbors), jnp.asarray(inv), kp, w_, 0.08, b_,
-                64, 8)
+                64, pool_cols)
             return jnp.sum(jnp.sin(out)) + jnp.sum(jnp.cos(pooled))
 
         args = (jnp.asarray(s_feats), jnp.asarray(pool), w, b)
@@ -367,7 +396,11 @@ class TestUnionInputKernel:
         n, m, h, k, cout = 300, 200, 10, 15, 32
         sp = rng.uniform(0, 1, (n, 3)).astype(np.float32)
         qp = rng.uniform(0, 1, (m, 3)).astype(np.float32)
-        sf = np.abs(rng.normal(size=(n, 1))).astype(np.float32)
+        # the edge path stores gathered features at TABLE_DTYPE; the union
+        # path keeps f32 — feed both TABLE_DTYPE-representable features so
+        # the comparison isolates the kernels' geometry
+        sf = np.asarray(_table_round(
+            np.abs(rng.normal(size=(n, 1))).astype(np.float32)))
         nb = np.stack([
             np.random.default_rng(i).choice(n + 1, h, replace=False)
             for i in range(m)

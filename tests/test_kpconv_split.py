@@ -289,6 +289,8 @@ class TestProductionWiring:
                 h1, m2 = spec
                 assert h1 % 8 == 0 and 0 < h1 < 16 and m2 % 8 == 0
 
+    @pytest.mark.slow
+
     def test_prepare_pair_split_model_parity(self, rng):
         """Full model (interpret-mode Pallas kernels) on a prepare_pair
         batch with config-driven splits vs the same batch without."""

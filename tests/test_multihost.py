@@ -16,6 +16,8 @@ import sys
 
 import pytest
 
+pytestmark = pytest.mark.slow  # multi-minute compiles/subprocesses
+
 
 def _free_port():
     s = socket.socket()
@@ -47,7 +49,9 @@ def test_two_process_trainer(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=1400)
+            # contention-proof margin: ~730 s on an idle machine; CPU-loaded
+            # runs measured ~3x slower, so budget well past that
+            out, _ = p.communicate(timeout=2800)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()

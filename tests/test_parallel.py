@@ -70,6 +70,7 @@ def make_tiny_batch(cfg, seed):
 
 
 class TestDataParallelTraining:
+    @pytest.mark.slow
     def test_eight_device_train_step(self):
         assert jax.device_count() == 8
         cfg = tiny_config()
@@ -120,6 +121,8 @@ class TestDataParallelTraining:
         # with random weights? No — random weights give garbage matches, but
         # RRE/RTE must at least be finite and RR in {0, 1}.
         assert float(metrics["RR"]) in (0.0, 1.0)
+
+    @pytest.mark.slow
 
     def test_gradients_synchronized(self):
         """All-device params remain identical after a sharded step."""

@@ -3,6 +3,7 @@
 the batch must reproduce the in-model computation bit-for-bit, for both the
 raw forward and the full train step."""
 
+import pytest
 import dataclasses
 
 import numpy as np
@@ -49,6 +50,8 @@ class TestPrecomputedTargets:
         out_in_model = apply(variables, batch, t_rng)
         out_precomp = apply(variables, batch_pre, t_rng)
         _tree_equal(out_in_model, out_precomp)
+
+    @pytest.mark.slow
 
     def test_train_step_identical(self):
         cfg = tiny_config()
