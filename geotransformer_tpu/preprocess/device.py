@@ -289,12 +289,18 @@ def _radius_search_cloud_grid(q_points, n_q, s_points, n_s, radius, k,
         ovf = jnp.any(total > cand_cap)
 
         w = jnp.arange(cand_cap, dtype=jnp.int32)[None, :]  # (1, W)
-        run = jnp.sum(
-            (offs[:, :, None] <= w[:, None, :]).astype(jnp.int32), axis=1
-        ) - 1  # (B, W) which run the slot falls in
-        run = jnp.clip(run, 0, 8)
-        pos = (jnp.take_along_axis(lo9, run, axis=1)
-               + (w - jnp.take_along_axis(offs, run, axis=1)))
+        # Slot -> sorted-support row, branch-free: slot w falls in run j iff
+        # offs[j] <= w < offs[j] + len[j]; the runs partition [0, total), so
+        # exactly one term selects. A one-hot sum over the 9 runs stays on
+        # the VPU — the take_along_axis formulation lowered to two 262k-
+        # element bit-packed scalar gathers at ~83 ms each (measured, the
+        # whole reason this path once lost to brute force).
+        pos = jnp.zeros(w.shape[:1] + (cand_cap,), jnp.int32)
+        for j in range(9):
+            in_run = (offs[:, j:j + 1] <= w) & (w < offs[:, j:j + 1]
+                                                + len9[:, j:j + 1])
+            pos = jnp.where(in_run, lo9[:, j:j + 1] + (w - offs[:, j:j + 1]),
+                            pos)
         slot_ok = w < total[:, None]
         pos = jnp.clip(jnp.where(slot_ok, pos, 0), 0, cap_s - 1)
 
