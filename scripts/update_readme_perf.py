@@ -1,0 +1,130 @@
+#!/usr/bin/env python
+"""Regenerate the README performance table from bench.py JSON captures.
+
+Single source of truth for perf claims: every number in the README's
+performance table comes from the newest capture, and the headline row
+carries a reproducibility band over ALL captures passed (the repo policy
+is 2-3 runs inside the ±5% relay noise band before believing a delta).
+
+  python bench.py > /tmp/bench_a.json   # repeat 2-3x
+  python scripts/update_readme_perf.py /tmp/bench_a.json /tmp/bench_b.json ...
+
+Rewrites the block between the BENCH_TABLE markers in README.md in place
+(newest capture = last argument).
+"""
+
+import json
+import os.path as osp
+import re
+import sys
+
+README = osp.join(osp.dirname(osp.dirname(osp.abspath(__file__))), "README.md")
+START = "<!-- BENCH_TABLE_START (scripts/update_readme_perf.py) -->"
+END = "<!-- BENCH_TABLE_END -->"
+
+
+def fmt_row(path, ms, throughput, note=""):
+    time_s = f"~{ms:.1f} ms" if ms is not None else "—"
+    cells = [path, time_s, throughput + (f" ({note})" if note else "")]
+    return "| " + " | ".join(cells) + " |"
+
+
+def build_table(runs):
+    latest = runs[-1]
+    values = [r["value"] for r in runs]
+    band = ""
+    if len(runs) > 1:
+        band = (f"; band over {len(runs)} runs: "
+                f"{min(values):.1f}–{max(values):.1f}")
+    rows = [
+        "| Path | Time | Throughput |",
+        "|---|---|---|",
+    ]
+    v = latest["value"]
+    rows.append(fmt_row(
+        "full registration forward (inference, pair-fitted caps)",
+        1000.0 / v, f"**{v:.1f} pairs/s**",
+        f"{latest['vs_baseline']:.2f}× the deliberately-hardened baseline of "
+        f"21 pairs/s — the paper's RTX-3090 number scaled 1.5× toward "
+        f"\"A100-class\"; {v / 13.9:.2f}× the 3090 number itself{band}"))
+    if "calibrated_caps_pairs_per_sec" in latest:
+        c = latest["calibrated_caps_pairs_per_sec"]
+        rows.append(fmt_row(
+            "forward at dataset-calibrated caps (production padding)",
+            1000.0 / c, f"{c:.1f} pairs/s",
+            f"{c / 21.0:.2f}× baseline"))
+    if "train_step_ms" in latest:
+        t = latest["train_step_ms"]
+        note = ("honest chained-state timing — fetching only the loss lets "
+                "XLA dead-code-eliminate the backward, see bench.py")
+        if "train_step_in_graph_targets_ms" in latest:
+            note += (f"; {latest['train_step_in_graph_targets_ms']:.1f} ms "
+                     "with the no_grad GT targets recomputed in-graph")
+        rows.append(fmt_row(
+            "full train step (forward + backward + Adam, loader-precomputed "
+            "GT targets)", t, f"{1000.0 / t:.1f} pairs/s", note))
+    if "kitti_pairs_per_sec" in latest:
+        k = latest["kitti_pairs_per_sec"]
+        rows.append(fmt_row(
+            "KITTI-scale forward (5-stage, hidden 128, ~30k-pt synthetic "
+            "LiDAR pair, pair-fitted caps)", 1000.0 / k, f"{k:.1f} pairs/s",
+            "no wall-clock anchor exists — the paper publishes only KITTI "
+            "quality metrics"))
+    if "kitti_calibrated_pairs_per_sec" in latest:
+        k = latest["kitti_calibrated_pairs_per_sec"]
+        rows.append(fmt_row(
+            "KITTI forward at distribution-calibrated caps+splits "
+            "(production padding)", 1000.0 / k, f"{k:.1f} pairs/s"))
+    if "kitti_train_step_ms" in latest:
+        t = latest["kitti_train_step_ms"]
+        rows.append(fmt_row(
+            "KITTI train step at calibrated caps", t,
+            f"{1000.0 / t:.1f} pairs/s"))
+    if "modelnet_pairs_per_sec" in latest:
+        m = latest["modelnet_pairs_per_sec"]
+        rows.append(fmt_row(
+            "ModelNet forward (3-stage, 717-pt pairs, "
+            "distribution-calibrated caps)", 1000.0 / m, f"{m:.1f} pairs/s"))
+    if "e2e_device_ms" in latest:
+        e = latest["e2e_device_ms"]
+        rows.append(fmt_row(
+            "device pyramid build + forward, one jitted program "
+            "(preprocess/device.py)", e, f"{1000.0 / e:.1f} pairs/s",
+            "on-chip grid-binned exact KNN; zero host preprocessing"))
+    rows.append(fmt_row(
+        "host preprocessing (pyramid build, C++ grid)", 135.0, "per core",
+        "parallelized over pairs by the PairLoader"))
+    return "\n".join(rows)
+
+
+def main():
+    paths = sys.argv[1:]
+    if not paths:
+        sys.exit("usage: update_readme_perf.py bench1.json [bench2.json ...]")
+    runs = []
+    for p in paths:
+        with open(p) as f:
+            for line in f:
+                line = line.strip()
+                if line.startswith("{"):
+                    runs.append(json.loads(line))
+                    break
+    with open(README) as f:
+        text = f.read()
+    if START not in text or END not in text:
+        sys.exit(f"README is missing the {START}/{END} markers")
+    table = build_table(runs)
+    new = re.sub(
+        re.escape(START) + r".*?" + re.escape(END),
+        START + "\n" + table + "\n" + END,
+        text,
+        flags=re.S,
+    )
+    with open(README, "w") as f:
+        f.write(new)
+    print(table)
+    print(f"\nREADME updated from {len(runs)} capture(s); newest: {paths[-1]}")
+
+
+if __name__ == "__main__":
+    main()
