@@ -94,34 +94,58 @@ def _train_ms(model, cfg, batch, tx):
     return (fetch(5) - fetch(1)) / 4.0 * 1e3
 
 
-def _kitti_like_pair(seed=0, n_rays=120000):
+def _kitti_like_pair(seed=0, n_rays=180000):
     """Synthetic LiDAR-like scan pair at KITTI scale (~30k pts after the
-    dataset's 0.3 m voxel downsample; ground disk + structured returns so
-    the pyramid shrinks like real scans)."""
+    dataset's 0.3 m voxel downsample). Every return lies on a SURFACE —
+    the ground plane or one of a fixed set of vertical facade planes ray-
+    cast from two sensor poses — so the voxel pyramid shrinks ~4x per
+    stage like real scans (the earlier volumetric generator barely merged
+    at deeper stages: 30k -> 24.7k -> 15.4k, inflating the deep-stage
+    cost ~8x over the production KITTI caps 30720/8192/2048/768/256)."""
     from geotransformer_tpu.preprocess.voxel import grid_subsample_single
 
     rng = np.random.default_rng(seed)
+    # shared world geometry: vertical facade planes around the street
+    n_planes = 40
+    c = rng.uniform(-50, 50, (n_planes, 2))
+    theta = rng.uniform(0, np.pi, n_planes)
+    nvec = np.stack([np.cos(theta), np.sin(theta)], 1)
+    tvec = np.stack([-np.sin(theta), np.cos(theta)], 1)
+    halfw = rng.uniform(3.0, 15.0, n_planes)
+    height = rng.uniform(2.5, 10.0, n_planes)
 
-    def scan(rot=0.0):
+    def scan(pos, yaw):
         az = rng.uniform(0, 2 * np.pi, n_rays)
         elev = np.deg2rad(rng.uniform(-24.0, 2.0, n_rays))
-        d = rng.uniform(3.0, 70.0, n_rays)
-        # ground intersection clamps downward rays (sensor 1.7 m up)
-        down = np.sin(elev) < -1e-3
-        d_ground = np.where(down, 1.7 / np.maximum(-np.sin(elev), 1e-3), np.inf)
-        d = np.minimum(d, d_ground)
-        # sprinkle vertical structure (walls/posts) at random azimuth bands
-        wall = rng.uniform(0, 1, n_rays) < 0.25
-        d = np.where(wall, rng.uniform(5.0, 40.0, n_rays), d)
-        x = d * np.cos(elev) * np.cos(az + rot)
-        y = d * np.cos(elev) * np.sin(az + rot)
-        z = d * np.sin(elev) + 1.7
-        pts = np.column_stack([x, y, z]).astype(np.float32)
+        ce, se = np.cos(elev), np.sin(elev)
+        ca, sa = np.cos(az + yaw), np.sin(az + yaw)
+        dirs = np.stack([ce * ca, ce * sa, se], 1)  # world-frame rays
+        p = np.array([pos[0], pos[1], 1.7])
+        d = np.where(dirs[:, 2] < -1e-4,
+                     -p[2] / np.minimum(dirs[:, 2], -1e-4), np.inf)
+        for i in range(n_planes):
+            denom = dirs[:, 0] * nvec[i, 0] + dirs[:, 1] * nvec[i, 1]
+            denom = np.where(np.abs(denom) < 1e-6, 1e-6, denom)
+            t = ((c[i, 0] - p[0]) * nvec[i, 0]
+                 + (c[i, 1] - p[1]) * nvec[i, 1]) / denom
+            hz = p[2] + t * dirs[:, 2]
+            u = ((p[0] + t * dirs[:, 0] - c[i, 0]) * tvec[i, 0]
+                 + (p[1] + t * dirs[:, 1] - c[i, 1]) * tvec[i, 1])
+            ok = ((t > 1.0) & (t < d) & (np.abs(u) < halfw[i])
+                  & (hz > 0.0) & (hz < height[i]))
+            d = np.where(ok, t, d)
+        keep = d < 75.0
+        d = d[keep]
+        # sensor-frame coordinates (rotation about z: local az drops yaw)
+        ca_l, sa_l = np.cos(az[keep]), np.sin(az[keep])
+        pts = np.stack(
+            [d * ce[keep] * ca_l, d * ce[keep] * sa_l, d * se[keep]], 1
+        ).astype(np.float32)
         pts += rng.normal(0, 0.02, pts.shape).astype(np.float32)
         return grid_subsample_single(pts, 0.3)
 
-    ref = scan()
-    src = scan(rot=0.12)
+    ref = scan((0.0, 0.0), 0.0)
+    src = scan((6.0, 2.0), 0.12)  # ~KITTI pair displacement
     limit = 30000
     if len(ref) > limit:
         ref = ref[rng.permutation(len(ref))[:limit]]
@@ -130,8 +154,47 @@ def _kitti_like_pair(seed=0, n_rays=120000):
     return ref.astype(np.float32), src.astype(np.float32)
 
 
+def _modelnet_like_root(seed=0, num_models=6):
+    """Procedural stand-in for the ModelNet pkl root (real data is
+    environment-blocked): surface-sampled scaled boxes, so the voxel
+    pyramid shrinks like piecewise-planar CAD models rather than volume
+    noise. The bench then exercises the dataset's OWN pair synthesis
+    (normalize / random SE(3) / plane crop keep-0.7 / twice-sample to 717,
+    reference `datasets/registration/modelnet/dataset.py:162-195`)."""
+    import pickle
+    import tempfile
+
+    rng = np.random.default_rng(seed)
+    data = []
+    for _ in range(num_models):
+        n = 4096
+        face = rng.integers(0, 6, n)
+        uv = rng.uniform(-1, 1, (n, 2)).astype(np.float32)
+        axis = face % 3
+        sign = np.where(face < 3, 1.0, -1.0).astype(np.float32)
+        pts = np.empty((n, 3), np.float32)
+        normals = np.zeros((n, 3), np.float32)
+        for k in range(3):
+            m = axis == k
+            o = [x for x in range(3) if x != k]
+            pts[m, k] = sign[m]
+            pts[m, o[0]] = uv[m, 0]
+            pts[m, o[1]] = uv[m, 1]
+            normals[m, k] = sign[m]
+        pts *= rng.uniform(0.4, 1.0, (1, 3)).astype(np.float32)
+        data.append(dict(points=pts, normals=normals,
+                         label=int(rng.choice([0, 2, 4, 8]))))
+    root = tempfile.mkdtemp(prefix="modelnet_bench_")
+    for subset in ("train", "test"):
+        with open(osp.join(root, f"{subset}.pkl"), "wb") as f:
+            pickle.dump(data, f)
+    return root
+
+
 def main():
-    from geotransformer_tpu.configs import make_3dmatch_config, make_kitti_config
+    from geotransformer_tpu.configs import (
+        make_3dmatch_config, make_kitti_config, make_modelnet_config,
+    )
     from geotransformer_tpu.preprocess import (
         build_pyramid, pad_registration_batch, caps_for_pyramid,
         fit_split_for_table, pad_stage0,
@@ -283,8 +346,18 @@ def main():
     except Exception as exc:
         extras["calibrated_caps_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
-    # -- KITTI-scale forward (5-stage, hidden 128, patch 128, ~30k pts) --
+    # -- KITTI-scale (5-stage, hidden 128, patch 128, ~30k pts) --
+    # No wall-clock anchor exists: the paper/reference publish only KITTI
+    # quality metrics (reference README.md:199-201), so these lines are
+    # explicitly unanchored. Two configurations are reported: caps+splits
+    # fitted to the measured pair (kitti_ms, upper bound) and caps+splits
+    # calibrated over a 6-pair synthetic LiDAR distribution — the honest
+    # production padding (kitti_calibrated_*, plus the train step).
     try:
+        from geotransformer_tpu.preprocess import (
+            calibrate_split_specs, calibrate_stage_caps,
+        )
+
         kcfg = make_kitti_config()
         kref, ksrc = _kitti_like_pair()
         kpoints = np.concatenate([kref, ksrc], 0)
@@ -295,26 +368,97 @@ def main():
             list(kcfg.caps.neighbor_limits),
         )
         kcaps = tuple(caps_for_pyramid(kpyr, multiple=256, per_cloud=True))
-        kcfg = kcfg.with_caps(stage_caps=kcaps)
+        kcfg_fit = kcfg.with_caps(stage_caps=kcaps)
         kfeats = np.ones((kpoints.shape[0], kcfg.backbone.input_dim), np.float32)
-        # neighbor-table splits (deep-column compaction): LiDAR tables are
-        # ~70% padding under the calibrated limits, so the split cuts the
-        # dominant gather+conv rows (pair-fitted here, like the caps; the
-        # production path uses calibrate_split_specs via CapsConfig)
         kbatch_np = pad_registration_batch(
             kpyr, kfeats, np.eye(4, dtype=np.float32), kcaps)
         knb, ksub = fit_splits(kbatch_np)
         kbatch = jax.tree.map(jnp.asarray, pad_registration_batch(
             kpyr, kfeats, np.eye(4, dtype=np.float32), kcaps,
             neighbor_splits=knb, subsampling_splits=ksub))
-        kmodel = create_model(kcfg)
+        kmodel = create_model(kcfg_fit)
         kvars = jax.jit(lambda r, b: kmodel.init(r, b, training=False, with_gt=False))(
-            jax.random.PRNGKey(kcfg.seed), kbatch)
+            jax.random.PRNGKey(kcfg_fit.seed), kbatch)
         kms = _forward_ms(kmodel, kvars, kbatch)
         extras["kitti_ms"] = round(kms, 2)
         extras["kitti_pairs_per_sec"] = round(1000.0 / kms, 2)
+
+        # calibrated configuration: distribution-swept caps + splits
+        ksamples = [dict(zip(("ref_points", "src_points"), _kitti_like_pair(seed=s)))
+                    for s in range(6)]
+        kargs = (kcfg.backbone.num_stages, kcfg.backbone.init_voxel_size,
+                 kcfg.backbone.init_radius, list(kcfg.caps.neighbor_limits))
+        cal_kcaps = tuple(calibrate_stage_caps(iter(ksamples), *kargs,
+                                               num_samples=len(ksamples)))
+        cal_knb, cal_ksub = calibrate_split_specs(iter(ksamples), *kargs,
+                                                  num_samples=len(ksamples))
+        kcfg_cal = kcfg.with_caps(
+            stage_caps=cal_kcaps,
+            neighbor_splits=tuple(cal_knb), subsampling_splits=tuple(cal_ksub))
+        kbatch_cal = jax.tree.map(jnp.asarray, pad_registration_batch(
+            kpyr, kfeats, np.eye(4, dtype=np.float32), cal_kcaps,
+            neighbor_splits=list(cal_knb), subsampling_splits=list(cal_ksub)))
+        kmodel_cal = create_model(kcfg_cal)
+        kvars_cal = jax.jit(
+            lambda r, b: kmodel_cal.init(r, b, training=False, with_gt=False)
+        )(jax.random.PRNGKey(kcfg_cal.seed), kbatch_cal)
+        kms_cal = _forward_ms(kmodel_cal, kvars_cal, kbatch_cal)
+        extras["kitti_calibrated_pairs_per_sec"] = round(1000.0 / kms_cal, 2)
+
+        # production train step at the calibrated caps (config-default
+        # inverse capacities, no pair-fit splits on the inverse tables)
+        ktx = make_optimizer(kcfg_cal, steps_per_epoch=10, world_size=1)
+        ktrain_batch = jax.tree.map(jnp.asarray, pad_registration_batch(
+            kpyr, kfeats, np.eye(4, dtype=np.float32), cal_kcaps,
+            inverse_limits=kcfg_cal.caps.inverse_limits,
+            neighbor_splits=list(cal_knb), subsampling_splits=list(cal_ksub)))
+        ktargets = jax.jit(
+            lambda b: precompute_gt_targets(kcfg_cal, b, use_pallas=True)
+        )(ktrain_batch)
+        ktrain_ms = _train_ms(kmodel_cal, kcfg_cal, dict(ktrain_batch, **ktargets),
+                              ktx)
+        extras["kitti_train_step_ms"] = round(ktrain_ms, 2)
     except Exception as exc:
         extras["kitti_error"] = f"{type(exc).__name__}: {exc}"[:200]
+
+    # -- ModelNet forward (3-stage, 717-pt pairs, config-default caps) --
+    try:
+        from geotransformer_tpu.datasets import ModelNetPairDataset
+        from geotransformer_tpu.preprocess import calibrate_stage_caps
+
+        mcfg = make_modelnet_config()
+        mds = ModelNetPairDataset(
+            _modelnet_like_root(), "test", num_points=717, keep_ratio=0.7,
+            twice_sample=True, deterministic=True)
+        msample = mds[0]
+        mpoints = np.concatenate(
+            [msample["ref_points"], msample["src_points"]], 0).astype(np.float32)
+        mlengths = np.asarray(
+            [len(msample["ref_points"]), len(msample["src_points"])])
+        mpyr = build_pyramid(
+            mpoints, mlengths, mcfg.backbone.num_stages,
+            mcfg.backbone.init_voxel_size, mcfg.backbone.init_radius,
+            list(mcfg.caps.neighbor_limits),
+        )
+        # caps calibrated over the synthetic distribution (the config
+        # defaults target real CAD meshes, which subsample differently)
+        mcaps = tuple(calibrate_stage_caps(
+            (mds[i] for i in range(len(mds))),
+            mcfg.backbone.num_stages, mcfg.backbone.init_voxel_size,
+            mcfg.backbone.init_radius, list(mcfg.caps.neighbor_limits),
+            num_samples=len(mds), multiple=64))
+        mcfg = mcfg.with_caps(stage_caps=mcaps)
+        mfeats = np.ones((mpoints.shape[0], mcfg.backbone.input_dim), np.float32)
+        mbatch = jax.tree.map(jnp.asarray, pad_registration_batch(
+            mpyr, mfeats, np.eye(4, dtype=np.float32), mcaps))
+        mmodel = create_model(mcfg)
+        mvars = jax.jit(lambda r, b: mmodel.init(r, b, training=False, with_gt=False))(
+            jax.random.PRNGKey(mcfg.seed), mbatch)
+        mms = _forward_ms(mmodel, mvars, mbatch)
+        extras["modelnet_ms"] = round(mms, 2)
+        extras["modelnet_pairs_per_sec"] = round(1000.0 / mms, 2)
+    except Exception as exc:
+        extras["modelnet_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
     print(json.dumps({
         "metric": "3dmatch_demo_pair_model_throughput",

@@ -24,7 +24,7 @@ from jax.experimental.pallas import tpu as pltpu
 
 
 def _overlap_kernel(rk_ref, rm_ref, sk_ref, sm_ref, out_ref, *, s_cand,
-                    k_patch, r2):
+                    k_patch, r2, s_chunk):
     # rk: (TC, K, 8) ref patch points [xyz, pad]; rm: (TC, K) 0/1
     # sk: (TC, S, K, 8) candidate patch points (already transformed);
     # sm: (TC, S, K) 0/1; out: (TC, S) overlaps
@@ -38,31 +38,52 @@ def _overlap_kernel(rk_ref, rm_ref, sk_ref, sm_ref, out_ref, *, s_cand,
     ref_total = jnp.maximum(jnp.sum(rm, axis=1), 1.0)  # (TC,)
     src_total = jnp.maximum(jnp.sum(sm, axis=2), 1.0)  # (TC, S)
 
-    # One batched dot over all (ref node, candidate) pairs — a per-candidate
-    # python loop would issue S tiny matmuls per tile (MXU latency-bound).
-    sk_flat = sk.reshape(tc * s_cand, k, 3)
-    rk_b = jnp.broadcast_to(rk[:, None], (tc, s_cand, k, 3))
-    rk_flat = rk_b.reshape(tc * s_cand, k, 3)
-    dots = jax.lax.dot_general(
-        rk_flat, sk_flat, (((2,), (2,)), ((0,), (0,))),
-        precision=jax.lax.Precision.HIGHEST,
-        preferred_element_type=jnp.float32,
-    )  # (TC*S, K, K)
-    r_sq = jnp.sum(rk_flat * rk_flat, axis=2)  # (TC*S, K)
-    s_sq = jnp.sum(sk_flat * sk_flat, axis=2)  # (TC*S, K)
-    d2 = r_sq[:, :, None] - 2.0 * dots + s_sq[:, None, :]
-    rm_flat = jnp.broadcast_to(rm[:, None], (tc, s_cand, k)).reshape(
-        tc * s_cand, k)
-    sm_flat = sm.reshape(tc * s_cand, k)
-    match = (
-        (d2 < r2).astype(jnp.float32)
-        * rm_flat[:, :, None]
-        * sm_flat[:, None, :]
-    )  # (TC*S, K, K)
-    ref_cover = jnp.sum(jnp.max(match, axis=2), axis=1).reshape(tc, s_cand)
-    src_cover = jnp.sum(jnp.max(match, axis=1), axis=1).reshape(tc, s_cand)
-    out_ref[...] = 0.5 * (
-        ref_cover / ref_total[:, None] + src_cover / src_total)
+    # Static loop over candidate chunks: only one chunk's (TC*SC, K, K)
+    # temporaries are live at a time, bounding the kernel's VMEM stack (at
+    # KITTI shapes S=64, K=128 the unchunked temporaries alone are ~100 MB).
+    # Within a chunk, one batched dot covers all (ref node, candidate)
+    # pairs — a per-candidate python loop would issue S tiny matmuls per
+    # tile (MXU latency-bound).
+    for c0 in range(0, s_cand, s_chunk):
+        sc = min(s_chunk, s_cand - c0)
+        sk_flat = sk[:, c0:c0 + sc].reshape(tc * sc, k, 3)
+        rk_b = jnp.broadcast_to(rk[:, None], (tc, sc, k, 3))
+        rk_flat = rk_b.reshape(tc * sc, k, 3)
+        dots = jax.lax.dot_general(
+            rk_flat, sk_flat, (((2,), (2,)), ((0,), (0,))),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32,
+        )  # (TC*SC, K, K)
+        r_sq = jnp.sum(rk_flat * rk_flat, axis=2)  # (TC*SC, K)
+        s_sq = jnp.sum(sk_flat * sk_flat, axis=2)  # (TC*SC, K)
+        d2 = r_sq[:, :, None] - 2.0 * dots + s_sq[:, None, :]
+        rm_flat = jnp.broadcast_to(rm[:, None], (tc, sc, k)).reshape(
+            tc * sc, k)
+        sm_flat = sm[:, c0:c0 + sc].reshape(tc * sc, k)
+        match = (
+            (d2 < r2).astype(jnp.float32)
+            * rm_flat[:, :, None]
+            * sm_flat[:, None, :]
+        )  # (TC*SC, K, K)
+        ref_cover = jnp.sum(jnp.max(match, axis=2), axis=1).reshape(tc, sc)
+        src_cover = jnp.sum(jnp.max(match, axis=1), axis=1).reshape(tc, sc)
+        out_ref[:, c0:c0 + sc] = 0.5 * (
+            ref_cover / ref_total[:, None]
+            + src_cover / src_total[:, c0:c0 + sc])
+
+
+def _auto_s_chunk(tile_c, s_cand, k_patch, budget_bytes=48 * 1024 * 1024):
+    """Largest in-kernel candidate chunk keeping the three live
+    (TC*SC, K, K) f32 temporaries (dots, d2, match) under budget. Mosaic
+    blocked tiles need the sublane axis in multiples of 8, so the ref-node
+    tile cannot shrink below 8 — the candidate axis chunks instead. At
+    KITTI shapes (S=64, K=128) the unchunked stack measured 102 MB,
+    over the 100 MB scoped limit."""
+    per_s = tile_c * 3 * k_patch * k_patch * 4
+    s_chunk = s_cand
+    while s_chunk > 1 and s_chunk * per_s > budget_bytes:
+        s_chunk = -(-s_chunk // 2)
+    return s_chunk
 
 
 def patch_overlaps(ref_knn_points, ref_knn_masks, cand_knn_points,
@@ -75,6 +96,7 @@ def patch_overlaps(ref_knn_points, ref_knn_masks, cand_knn_points,
         cand_knn_points: (M, S, K, 3) candidate src patches (transformed).
         cand_knn_masks: (M, S, K) bool.
         pos_radius: matching radius.
+        tile_c: ref nodes per grid step (sublane multiple, >= 8).
 
     Returns:
         (M, S) float32 overlaps in [0, 1] (unmasked slots give garbage the
@@ -105,6 +127,7 @@ def patch_overlaps(ref_knn_points, ref_knn_masks, cand_knn_points,
     kernel = functools.partial(
         _overlap_kernel, s_cand=s_cand, k_patch=k_patch,
         r2=float(pos_radius) ** 2,
+        s_chunk=_auto_s_chunk(tile_c, s_cand, k_patch),
     )
     out = pl.pallas_call(
         kernel,

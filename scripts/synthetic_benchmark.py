@@ -71,6 +71,11 @@ def main():
     parser.add_argument("--seed", type=int, default=0)
     parser.add_argument("--skip_eval_script", action="store_true",
                         help="stop after the feature dump (for tests)")
+    parser.add_argument("--force_pallas", choices=("auto", "true", "false"),
+                        default="auto",
+                        help="override the TPU-autodetected Pallas kernel path "
+                             "(false = pure-XLA modules, for pricing the "
+                             "kernel-precision drift in RR/IR/FMR)")
     args = parser.parse_args()
 
     from geotransformer_tpu.datasets.synthetic import SyntheticSceneBenchmark
@@ -97,6 +102,10 @@ def main():
         test_set = SyntheticSceneBenchmark(
             num_scenes=1, fragments_per_scene=5, num_points=16000,
             point_limit=2500, seed=args.seed + 777, scene_prefix="synth-test-")
+    if args.force_pallas != "auto":
+        cfg = dataclasses.replace(
+            cfg, model=dataclasses.replace(
+                cfg.model, force_pallas=args.force_pallas == "true"))
     print(f"train pairs: {len(train_set)}  test pairs: {len(test_set)} "
           f"({time.time() - t0:.1f}s)", flush=True)
     assert len(train_set) >= 4 and len(test_set) >= 3

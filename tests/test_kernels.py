@@ -132,3 +132,36 @@ class TestOverlapKernel:
         np.testing.assert_allclose(
             np.asarray(got[1]), np.asarray(want[1]), rtol=1e-5, atol=1e-6)
         np.testing.assert_array_equal(np.asarray(got[2]), np.asarray(want[2]))
+
+    def test_candidate_chunking_matches_unchunked(self, rng, monkeypatch):
+        """KITTI-shaped (S, K) overflows the kernel's VMEM stack unchunked;
+        the in-kernel candidate chunk loop must be bit-identical to the
+        single-pass computation."""
+        import jax.numpy as jnp
+        from geotransformer_tpu.kernels import overlap
+
+        m, s, k = 16, 12, 16
+        ref_knn = rng.uniform(0, 1, (m, k, 3)).astype(np.float32)
+        cand_knn = rng.uniform(0, 1, (m, s, k, 3)).astype(np.float32)
+        ref_masks = rng.uniform(size=(m, k)) > 0.2
+        cand_masks = rng.uniform(size=(m, s, k)) > 0.2
+
+        full = overlap.patch_overlaps(
+            jnp.asarray(ref_knn), jnp.asarray(ref_masks),
+            jnp.asarray(cand_knn), jnp.asarray(cand_masks), 0.1)
+        monkeypatch.setattr(overlap, "_auto_s_chunk", lambda *a, **kw: 5)
+        chunked = overlap.patch_overlaps(
+            jnp.asarray(ref_knn), jnp.asarray(ref_masks),
+            jnp.asarray(cand_knn), jnp.asarray(cand_masks), 0.1)
+        np.testing.assert_array_equal(np.asarray(chunked), np.asarray(full))
+
+    def test_auto_s_chunk_fits_kitti_shapes(self):
+        from geotransformer_tpu.kernels.overlap import _auto_s_chunk
+
+        # KITTI: S=64 candidates, K=128 patch points; the unchunked stack
+        # (~100 MB) must shrink under the budget
+        sc = _auto_s_chunk(8, 64, 128)
+        assert sc < 64
+        assert 8 * sc * 3 * 128 * 128 * 4 <= 48 * 1024 * 1024
+        # 3DMatch: S=64, K=64 stays unchunked
+        assert _auto_s_chunk(8, 64, 64) == 64
