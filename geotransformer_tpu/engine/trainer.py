@@ -197,7 +197,11 @@ class Trainer:
         if self.device_plan is None:
             batch = _device_batch(group, self.mesh)
             self.state, aux = self.train_step(self.state, batch, step_rng)
-            return {k: float(v) for k, v in aux.items()}
+            # Return DEVICE scalars: on this runtime every host fetch is a
+            # blocking ~30ms+ RPC that also synchronizes the step, so the
+            # epoch loop batches fetches at log boundaries (_flush_aux)
+            # and the device pipelines steps back-to-back in between.
+            return aux
         plan = self.device_plan
         bucket = self._bucket_of_group(group)
         while True:
@@ -262,27 +266,47 @@ class Trainer:
             metrics = self._host_eval_step(self.state, batch)
             return {k: float(v) for k, v in metrics.items()}
 
+    def _flush_aux(self, summary, pending, phase="train"):
+        """Fetch and record deferred per-step metrics (one batched
+        device_get instead of a blocking RPC per metric per step)."""
+        if not pending:
+            return
+        fetched = jax.device_get([aux for _, aux in pending])
+        for (step, _), aux in zip(pending, fetched):
+            aux = {k: float(v) for k, v in aux.items()}
+            summary.update_from_dict(aux)
+            self._write_scalars(phase, aux, step)
+        pending.clear()
+
     def train_epoch(self):
         summary = SummaryBoard(last_n=self.log_steps)
         timer = Timer()
         self.train_loader.set_epoch(self.epoch)
+        step0 = int(self.state.step)
+        pending = []
         timer.tic_prepare()
         for it, group in enumerate(self.train_loader):
             timer.toc_prepare()
             timer.tic_process()
-            self._maybe_profile(int(self.state.step))
+            self._maybe_profile(step0 + it)
             self.rng, step_rng = jax.random.split(self.rng)
             aux = self._train_on_group(group, step_rng)
             timer.toc_process()
-            summary.update_from_dict(aux)
-            self._write_scalars("train", aux, int(self.state.step))
+            if isinstance(next(iter(aux.values()), None), float):
+                # device-plan path already fetched (overflow decision)
+                summary.update_from_dict(aux)
+                self._write_scalars("train", aux, step0 + it + 1)
+            else:
+                pending.append((step0 + it + 1, aux))
             if (it + 1) % self.log_steps == 0:
+                self._flush_aux(summary, pending)
                 self.logger.info(
                     f"epoch {self.epoch} it {it + 1}/{len(self.train_loader)}: "
                     f"{summary.tostring()} | prep {timer.get_prepare_time():.3f}s "
                     f"proc {timer.get_process_time():.3f}s"
                 )
             timer.tic_prepare()
+        self._flush_aux(summary, pending)
         self.last_metrics = summary.summary()
         return self.last_metrics
 
@@ -324,6 +348,7 @@ class Trainer:
         max_iter = self.cfg.optim.max_iteration
         it = int(self.state.step)
         summary = SummaryBoard(last_n=self.log_steps)
+        pending = []
         while it < max_iter:
             self.train_loader.set_epoch(self.epoch)
             self.epoch += 1
@@ -331,12 +356,19 @@ class Trainer:
                 self.rng, step_rng = jax.random.split(self.rng)
                 aux = self._train_on_group(group, step_rng)
                 it += 1
-                summary.update_from_dict(aux)
+                if isinstance(next(iter(aux.values()), None), float):
+                    summary.update_from_dict(aux)
+                    self._write_scalars("train", aux, it)
+                else:
+                    pending.append((it, aux))
                 if it % self.log_steps == 0:
+                    self._flush_aux(summary, pending)
                     self.logger.info(f"iter {it}/{max_iter}: {summary.tostring()}")
                 if it % snapshot_steps == 0:
+                    self._flush_aux(summary, pending)
                     self.checkpoints.save(it, self.state, metadata={"iteration": it})
                     self.validate()
                 if it >= max_iter:
                     break
+        self._flush_aux(summary, pending)
         return self.state

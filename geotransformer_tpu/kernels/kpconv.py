@@ -1500,3 +1500,176 @@ def _kpconv_split_input_bwd(sigma, tile_m, res, dout):
 
 
 kpconv_split_input_diff.defvjp(_kpconv_split_input_fwd, _kpconv_split_input_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Edge-stream input-layer convolution (gather-free).
+#
+# The input conv's gathered block is PURE BATCH DATA: its features are the
+# network INPUT (ones / loader-provided), so offsets, validity flag, and
+# feature value per (query, neighbor) slot are all known at collate time.
+# Streaming them as precomputed H-on-lanes planes removes the stage-0
+# gather entirely (XLA's gather engine is row-rate-bound at ~1.9 ns/row —
+# ~2.1 ms for the demo pair's 1.1M edge rows) AND shrinks the kernel-side
+# read from one 512 B tile-row per EDGE to five per QUERY (~6x fewer
+# bytes at H=40). The host builds the stream with one vectorized numpy
+# fancy-index inside the loader workers — the same place the reference
+# pays its nanoflann searches (`utils/data.py:13-77`); on-device pyramid
+# builds emit it with a single gather per batch.
+#
+# Geometry runs in exact f32 on the VPU (offsets are precomputed, so there
+# is no in-kernel matmul to hit Mosaic's single-pass-bf16 lowering).
+# ---------------------------------------------------------------------------
+
+# stream plane indices: offsets, positive-feature flag, feature value
+_STREAM_PLANES = 5  # [off_x, off_y, off_z, posflag, feat]
+
+
+def _kpconv_stream_kernel(st_ref, kp_ref, w_ref, out_ref, *extras,
+                          num_kernel_points, sigma, has_count, has_t1,
+                          normalize=True):
+    k = num_kernel_points
+    extras = list(extras)
+    count_ref = extras.pop(0) if has_count else None
+    t1_ref = extras.pop(0) if has_t1 else None
+
+    st = st_ref[...]  # (5, TM, H) f32
+    ox, oy, oz = st[0], st[1], st[2]
+    flag = st[3]
+    feat = st[4]
+    kp = kp_ref[...]  # (K, 8) f32: [kp(3), |kp|^2, pad]
+
+    count_raw = jnp.sum(flag, axis=1)  # (TM,)
+    count = jnp.maximum(count_raw, 1.0) if normalize else count_raw
+
+    off2 = ox * ox + oy * oy + oz * oz  # (TM, H)
+    cols = []
+    for kk in range(k):
+        dot = ox * kp[kk, 0] + oy * kp[kk, 1] + oz * kp[kk, 2]
+        sq = off2 - 2.0 * dot + kp[kk, 3]
+        infl = jnp.maximum(1.0 - jnp.sqrt(jnp.maximum(sq, 1e-20)) / sigma, 0.0)
+        cols.append(jnp.sum(infl * feat, axis=1, keepdims=True))  # (TM, 1)
+    t1 = jnp.concatenate(cols, axis=1)  # (TM, K)
+
+    acc = jax.lax.dot_general(
+        t1.astype(MXU_DTYPE), w_ref[...][:, 0, :].astype(MXU_DTYPE),
+        (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32,
+    )  # (TM, C_out)
+    out_ref[...] = acc / count[:, None] if normalize else acc
+    if count_ref is not None:
+        count_ref[...] = jnp.broadcast_to(count[:, None], count_ref.shape)
+    if t1_ref is not None:
+        t1_ref[...] = t1
+
+
+def kpconv_stream_fused(stream, kernel_points, weights, sigma, bias=None,
+                        tile_m=256, interpret=None, return_count=False,
+                        return_t1=False, normalize=True):
+    """Gather-free input-layer KPConv from a precomputed edge stream.
+
+    Args:
+        stream: (5, M, H) float32 planes [off_x, off_y, off_z, posflag,
+            feat] — offsets s[n(m, h)] - q[m] with zeros (and flag/feat 0)
+            on invalid slots (preprocess.pyramid.build_input_stream).
+        kernel_points: (K, 3).
+        weights: (K, 1, C_out) — input layer, c_in == 1.
+        sigma: influence radius.
+
+    Returns:
+        (M, C_out) float32 [, counts (M,)] [, t1 (M, K)].
+    """
+    _, m, h = stream.shape
+    k, c_in, c_out = weights.shape
+    assert c_in == 1, "edge-stream path is the c_in == 1 input layer"
+    assert stream.shape[0] == _STREAM_PLANES
+
+    kp_aug = jnp.concatenate(
+        [
+            kernel_points,
+            jnp.sum(kernel_points**2, axis=-1, keepdims=True),
+            jnp.zeros((k, _AUG - 4), kernel_points.dtype),
+        ],
+        axis=1,
+    )  # (K, 8) f32
+
+    num_tiles = -(-m // tile_m)
+    pad_m = num_tiles * tile_m
+    if pad_m != m:
+        stream = jnp.pad(stream, ((0, 0), (0, pad_m - m), (0, 0)))
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    kernel = functools.partial(
+        _kpconv_stream_kernel, num_kernel_points=k, sigma=float(sigma),
+        has_count=return_count, has_t1=return_t1, normalize=normalize,
+    )
+    out_specs = [pl.BlockSpec((tile_m, c_out), lambda i: (i, 0),
+                              memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct((pad_m, c_out), jnp.float32)]
+    if return_count:
+        out_specs.append(pl.BlockSpec((tile_m, 8), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((pad_m, 8), jnp.float32))
+    if return_t1:
+        out_specs.append(pl.BlockSpec((tile_m, k), lambda i: (i, 0),
+                                      memory_space=pltpu.VMEM))
+        out_shape.append(jax.ShapeDtypeStruct((pad_m, k), jnp.float32))
+    if len(out_specs) == 1:
+        out_specs, out_shape = out_specs[0], out_shape[0]
+    else:
+        out_specs, out_shape = tuple(out_specs), tuple(out_shape)
+    out = pl.pallas_call(
+        kernel,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec((_STREAM_PLANES, tile_m, h), lambda i: (0, i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((k, _AUG), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.VMEM),
+        ],
+        out_specs=out_specs,
+        out_shape=out_shape,
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(stream, kp_aug, weights)
+    rest = list(out) if isinstance(out, (tuple, list)) else [out]
+    out = rest.pop(0)[:m]
+    if bias is not None:
+        out = out + bias
+    results = (out,)
+    if return_count:
+        results = results + (rest.pop(0)[:m, 0],)
+    if return_t1:
+        results = results + (rest.pop(0)[:m],)
+    return results if len(results) > 1 else results[0]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 5))
+def kpconv_stream_input_diff(stream, kernel_points, weights, sigma, bias,
+                             tile_m):
+    """Differentiable edge-stream input conv: d_weights / d_bias only
+    (the stream is batch geometry; features are the network input, so
+    feature gradients are zero — same contract as kpconv_input_fused_diff)."""
+    return kpconv_stream_fused(
+        stream, kernel_points, weights, sigma, bias=bias, tile_m=tile_m)
+
+
+def _kpconv_stream_fwd(stream, kernel_points, weights, sigma, bias, tile_m):
+    out, counts, t1 = kpconv_stream_fused(
+        stream, kernel_points, weights, sigma, bias=bias, tile_m=tile_m,
+        return_count=True, return_t1=True,
+    )
+    return out, (t1, counts, stream.shape, bias is not None)
+
+
+def _kpconv_stream_bwd(sigma, tile_m, res, dout):
+    t1, counts, st_shape, has_bias = res
+    gdiv = dout / counts[:, None]
+    d_weights = jax.lax.dot_general(
+        t1, gdiv, (((0,), (0,)), ((), ())),
+    )[:, None, :]  # (K, 1, C_out)
+    d_bias = jnp.sum(dout, axis=0) if has_bias else None
+    return (jnp.zeros(st_shape, dout.dtype), None, d_weights, d_bias)
+
+
+kpconv_stream_input_diff.defvjp(_kpconv_stream_fwd, _kpconv_stream_bwd)

@@ -79,16 +79,22 @@ class KPConvFPN(nn.Module):
             if i == 0:
                 # encoder1_1's input features are the network input — its
                 # d_s_feats is dead code, so no inverse table is passed.
+                # Path priority: precomputed edge stream (gather-free) >
+                # union gather > split tables > plain edge gather.
+                stream0 = batch.get("input_stream")
+                if self.input_dim != 1:
+                    stream0 = None
                 union0 = None
-                if "union_rows0" in batch:
+                if stream0 is None and "union_rows0" in batch:
                     union0 = (batch["union_rows0"], batch["union_sel0"])
                 x = ConvBlock(
                     self.input_dim, d, k, radius, sigma, self.group_norm,
                     use_pallas=self.use_pallas,
                     input_layer=self.input_dim == 1, name="encoder1_1",
                 )(x, points[0], points[0], neighbors[0], masks[0],
-                  union_tables=union0,
-                  split_tables=None if union0 is not None else nb_split[0])
+                  union_tables=union0, stream=stream0,
+                  split_tables=None if union0 is not None or stream0 is not None
+                  else nb_split[0])
                 x = ResidualBlock(
                     d, 2 * d, k, radius, sigma, self.group_norm,
                     use_pallas=self.use_pallas, name="encoder1_2",

@@ -47,7 +47,7 @@ class KPConv(nn.Module):
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices,
                  pool_feats=None, pool_cols=None, inverse_table=None,
-                 union_tables=None, split_tables=None):
+                 union_tables=None, split_tables=None, stream=None):
         """KPConv forward.
 
         Args:
@@ -72,6 +72,11 @@ class KPConv(nn.Module):
                 query plus a compacted tail for deep queries only,
                 cutting gathered rows by the table's shadow fraction
                 (kernels/kpconv.py split section). Exact, same outputs.
+            stream: optional (5, M, H) precomputed edge stream
+                (preprocess.pyramid.build_input_stream) — input-layer
+                convs (c_in == 1) then skip the neighbor gather entirely
+                (kernels/kpconv.py edge-stream section); takes precedence
+                over union/split tables. Requires input_layer.
 
         Returns:
             (M, C_out) features, or (features, pooled) with pool_feats.
@@ -108,6 +113,15 @@ class KPConv(nn.Module):
                 tile_m = 64
             else:
                 tile_m = 32
+            if (stream is not None and self.input_layer
+                    and self.in_channels == 1):
+                from geotransformer_tpu.kernels.kpconv import (
+                    kpconv_stream_input_diff,
+                )
+
+                return kpconv_stream_input_diff(
+                    stream, kernel_points, weights, self.sigma, bias, 256,
+                )
             if split_tables is not None:
                 from geotransformer_tpu.kernels.kpconv import (
                     kpconv_split_diff,
@@ -295,7 +309,7 @@ class ConvBlock(nn.Module):
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices,
                  q_mask=None, inverse_table=None, union_tables=None,
-                 split_tables=None):
+                 split_tables=None, stream=None):
         x = KPConv(
             self.in_channels, self.out_channels, self.kernel_size,
             self.radius, self.sigma, use_bias=True,
@@ -303,7 +317,7 @@ class ConvBlock(nn.Module):
             name="KPConv",
         )(s_feats, q_points, s_points, neighbor_indices,
           inverse_table=inverse_table, union_tables=union_tables,
-          split_tables=split_tables)
+          split_tables=split_tables, stream=stream)
         x = GroupNorm(self.group_norm, self.out_channels, name="norm")(x, q_mask)
         return leaky_relu(x)
 

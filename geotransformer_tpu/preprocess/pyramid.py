@@ -248,7 +248,8 @@ def pad_registration_batch(pyramid, feats, transform, stage_caps,
                            inverse_limits=None, sub_inverse_limits=None,
                            union_cap=None, union_tile=128,
                            neighbor_splits=None, subsampling_splits=None,
-                           inverse_splits=None, sub_inverse_splits=None):
+                           inverse_splits=None, sub_inverse_splits=None,
+                           input_stream=True):
     """Convert an unpadded pyramid into a fixed-capacity PairBatch pytree.
 
     Args:
@@ -276,6 +277,10 @@ def pad_registration_batch(pyramid, feats, transform, stage_caps,
           subsampling_inv[i] (T_i, J_{i+1}) int32, sentinel T_{i+1} —
               inverse of subsampling[i]
         consumed by the scatter-free Pallas KPConv backward.
+        With ``input_stream`` (default) and 1-channel features,
+        additionally ``input_stream`` (5, T_0, K_0) float32 — the
+        precomputed edge stream for the gather-free input conv
+        (:func:`build_input_stream`).
     """
     num_stages = len(pyramid["points"])
     assert len(stage_caps) == num_stages
@@ -393,8 +398,44 @@ def pad_registration_batch(pyramid, feats, transform, stage_caps,
         np.asarray(feats, dtype=np.float32), ref_lens[0], src_lens[0],
         _cloud_caps(stage_caps[0]), 0.0
     )
+    if input_stream and out["features"].shape[1] == 1:
+        out["input_stream"] = build_input_stream(
+            out["points"][0], out["features"], out["neighbors"][0])
     out["transform"] = np.asarray(transform, dtype=np.float32)
     return out
+
+
+def build_input_stream(points, feats, table):
+    """Precomputed edge stream for the gather-free input conv
+    (kernels.kpconv.kpconv_stream_fused).
+
+    The input conv's gathered block is pure batch data — its features are
+    the network input — so offsets, positive-feature flag, and feature
+    value per (query, neighbor) slot are computed here (one vectorized
+    fancy-index, the host analogue of the reference's collate-time
+    nanoflann work, `utils/data.py:13-77`) instead of via XLA's
+    row-rate-bound gather engine inside every forward.
+
+    Args:
+        points: (T0, 3) padded stage-0 points (pair frame).
+        feats: (T0, 1) padded stage-0 features (c_in == 1 input layer).
+        table: (T0, H) int32 stage-0 neighbor table, sentinel T0.
+
+    Returns:
+        (5, T0, H) float32 planes [off_x, off_y, off_z, posflag, feat]
+        with zeros on invalid slots.
+    """
+    t0 = points.shape[0]
+    valid = table < t0
+    idx = np.where(valid, table, 0)
+    s = points[idx]  # (T0, H, 3)
+    off = np.where(valid[..., None], s - points[:, None, :], 0.0)
+    feat_sum = np.sum(feats, axis=1)  # (T0,)
+    flag = (valid & (feat_sum[idx] > 0.0)).astype(np.float32)
+    featv = np.where(valid, feats[idx, 0], 0.0).astype(np.float32)
+    return np.stack(
+        [off[:, :, 0], off[:, :, 1], off[:, :, 2], flag, featv], axis=0
+    ).astype(np.float32)
 
 
 def round_up(value, multiple):

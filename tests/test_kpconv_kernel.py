@@ -433,3 +433,100 @@ class TestUnionInputKernel:
         for a, c in zip(g1, g2):
             np.testing.assert_allclose(
                 np.asarray(a), np.asarray(c), rtol=3e-2, atol=3e-3)
+
+
+class TestStreamInputConv:
+    """Edge-stream (gather-free) input conv vs the edge-gather kernel."""
+
+    def _setup(self, rng, n=500, m=300, h=12, k=15, cout=64):
+        sp = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        qp = rng.uniform(0, 1, (m, 3)).astype(np.float32)
+        sf = np.abs(rng.normal(size=(n, 1))).astype(np.float32)
+        sf[rng.uniform(size=n) < 0.1] = 0.0  # exercise the posflag path
+        nb = np.stack([
+            np.random.default_rng(i).choice(n + 1, h, replace=False)
+            for i in range(m)
+        ]).astype(np.int32)
+        kp = rng.uniform(-0.05, 0.05, (k, 3)).astype(np.float32)
+        w = (rng.normal(size=(k, 1, cout)) * 0.1).astype(np.float32)
+        bias = rng.normal(size=(cout,)).astype(np.float32)
+        # manual stream (build_input_stream assumes q == s, the stage-0
+        # self-neighbor layout; here q and s differ)
+        valid = nb < n
+        idx = np.where(valid, nb, 0)
+        off = np.where(valid[..., None], sp[idx] - qp[:, None, :], 0.0)
+        flag = (valid & (sf[idx, 0] > 0)).astype(np.float32)
+        featv = np.where(valid, sf[idx, 0], 0.0).astype(np.float32)
+        stream = np.stack(
+            [off[..., 0], off[..., 1], off[..., 2], flag, featv], axis=0
+        ).astype(np.float32)
+        return sp, qp, sf, nb, kp, w, bias, stream
+
+    def test_matches_edge_kernel(self, rng):
+        from geotransformer_tpu.kernels.kpconv import (
+            kpconv_fused, kpconv_stream_fused,
+        )
+
+        sp, qp, sf, nb, kp, w, bias, stream = self._setup(rng)
+        want, want_counts, want_t1 = kpconv_fused(
+            jnp.asarray(sf), jnp.asarray(qp), jnp.asarray(sp),
+            jnp.asarray(nb), jnp.asarray(kp), jnp.asarray(w), 0.08,
+            bias=jnp.asarray(bias), tile_m=64, return_count=True,
+            return_t1=True)
+        got, counts, t1 = kpconv_stream_fused(
+            jnp.asarray(stream), jnp.asarray(kp), jnp.asarray(w), 0.08,
+            bias=jnp.asarray(bias), tile_m=64, return_count=True,
+            return_t1=True)
+        np.testing.assert_array_equal(np.asarray(counts), np.asarray(want_counts))
+        np.testing.assert_allclose(
+            np.asarray(t1), np.asarray(want_t1), rtol=1e-4, atol=1e-5)
+        np.testing.assert_allclose(
+            np.asarray(got), np.asarray(want), rtol=1e-3, atol=1e-4)
+
+    def test_grads_match_input_path(self, rng):
+        from geotransformer_tpu.kernels.kpconv import (
+            kpconv_input_fused_diff, kpconv_stream_input_diff,
+        )
+
+        sp, qp, sf, nb, kp, w, bias, stream = self._setup(rng)
+        kp_j, w_j, b_j = jnp.asarray(kp), jnp.asarray(w), jnp.asarray(bias)
+
+        def loss_edge(w_, b_):
+            out = kpconv_input_fused_diff(
+                jnp.asarray(sf), jnp.asarray(qp), jnp.asarray(sp),
+                jnp.asarray(nb), kp_j, w_, 0.08, b_, 64)
+            return jnp.sum(jnp.sin(out))
+
+        def loss_stream(w_, b_):
+            out = kpconv_stream_input_diff(
+                jnp.asarray(stream), kp_j, w_, 0.08, b_, 64)
+            return jnp.sum(jnp.sin(out))
+
+        v1, g1 = jax.value_and_grad(loss_edge, argnums=(0, 1))(w_j, b_j)
+        v2, g2 = jax.value_and_grad(loss_stream, argnums=(0, 1))(w_j, b_j)
+        np.testing.assert_allclose(float(v1), float(v2), rtol=1e-4)
+        for a, c in zip(g1, g2):
+            np.testing.assert_allclose(
+                np.asarray(a), np.asarray(c), rtol=1e-3, atol=1e-4)
+
+    def test_build_input_stream_matches_gather(self, rng):
+        """build_input_stream (padded pair frame, q == s) vs direct numpy."""
+        from geotransformer_tpu.preprocess.pyramid import build_input_stream
+
+        t0, h = 64, 10
+        points = rng.uniform(0, 1, (t0, 3)).astype(np.float32)
+        feats = np.ones((t0, 1), np.float32)
+        feats[50:] = 0.0  # padded rows
+        table = rng.integers(0, t0 + 1, (t0, h)).astype(np.int32)
+        stream = build_input_stream(points, feats, table)
+        assert stream.shape == (5, t0, h)
+        for m in range(t0):
+            for c in range(h):
+                n = table[m, c]
+                if n >= t0:
+                    np.testing.assert_array_equal(stream[:, m, c], 0.0)
+                else:
+                    np.testing.assert_allclose(
+                        stream[:3, m, c], points[n] - points[m], rtol=1e-6)
+                    assert stream[3, m, c] == (1.0 if feats[n, 0] > 0 else 0.0)
+                    assert stream[4, m, c] == feats[n, 0]
