@@ -531,6 +531,22 @@ def build_pyramid_device(points, lengths, feats, transform, num_stages,
 
     out["features"] = jnp.where(
         valid0.reshape(2 * cap0)[:, None], feats.astype(jnp.float32), 0.0)
+    if out["features"].shape[1] == 1:
+        # Edge stream for the gather-free input conv (mirrors host
+        # pyramid.build_input_stream): ONE gather per batch here replaces
+        # the per-forward stage-0 gather in the model.
+        table = out["neighbors"][0]
+        pts0 = out["points"][0]
+        t0 = pts0.shape[0]
+        tvalid = table < t0
+        idx = jnp.where(tvalid, table, 0)
+        s = pts0[idx]  # (T0, K0p, 3)
+        off = jnp.where(tvalid[..., None], s - pts0[:, None, :], 0.0)
+        fsum = jnp.sum(out["features"], axis=1)
+        flag = (tvalid & (fsum[idx] > 0.0)).astype(jnp.float32)
+        featv = jnp.where(tvalid, out["features"][idx, 0], 0.0)
+        out["input_stream"] = jnp.stack(
+            [off[:, :, 0], off[:, :, 1], off[:, :, 2], flag, featv], axis=0)
     out["transform"] = transform.astype(jnp.float32)
     return out, jnp.stack(overflow)
 

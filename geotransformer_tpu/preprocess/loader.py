@@ -119,6 +119,7 @@ def prepare_pair(
     subsampling_splits=None,
     inverse_splits=None,
     sub_inverse_splits=None,
+    input_stream=True,
 ):
     """Build + pad one registration pair from a dataset sample dict.
 
@@ -164,7 +165,8 @@ def prepare_pair(
     batch = pad_registration_batch(
         pyramid, feats, transform, stage_caps, inverse_limits=inverse_limits,
         neighbor_splits=neighbor_splits, subsampling_splits=subsampling_splits,
-        inverse_splits=inverse_splits, sub_inverse_splits=sub_inverse_splits)
+        inverse_splits=inverse_splits, sub_inverse_splits=sub_inverse_splits,
+        input_stream=input_stream)
     if precompute_targets:
         if model_cfg is None:
             raise ValueError("precompute_targets=True requires model_cfg")

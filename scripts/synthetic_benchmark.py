@@ -133,12 +133,18 @@ def main():
         stage_caps=caps,
         input_dim=cfg.backbone.input_dim,
     )
+    # This environment has ONE host core behind a ~35 MB/s device relay, so
+    # the production hoists are inverted here: GT targets compute in-graph
+    # (the host-jax precompute measured ~4.5 s/pair serial vs ~4 ms on
+    # chip) and the input edge stream is skipped (its 19 MB/pair transfer
+    # costs more than the 2 ms on-device gather it saves). bench.py
+    # publishes the production configuration's numbers.
     train_pipeline_cfg = dict(
         pipeline_cfg,
         inverse_limits=cfg.caps.inverse_limits,
-        precompute_targets=True,
-        model_cfg=cfg,
+        input_stream=False,
     )
+    pipeline_cfg = dict(pipeline_cfg, input_stream=False)
 
     # ---- train (iteration-based so --steps maps directly) ----
     steps_per_epoch = max(len(train_set), 1)

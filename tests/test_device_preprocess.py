@@ -188,6 +188,14 @@ class TestDevicePyramid:
             self._tables_match(got["subsampling"][i], want["subsampling"][i])
             self._tables_match(got["upsampling"][i], want["upsampling"][i])
         np.testing.assert_array_equal(np.asarray(got["features"]), want["features"])
+        # edge stream: offsets can differ only on distance-tie rows (the
+        # same rows _tables_match tolerates); check the non-tie rows exactly
+        assert got["input_stream"].shape == want["input_stream"].shape
+        g_st, w_st = np.asarray(got["input_stream"]), want["input_stream"]
+        tie = ~np.all(
+            np.asarray(got["neighbors"][0]) == want["neighbors"][0], axis=1)
+        np.testing.assert_allclose(
+            g_st[:, ~tie], w_st[:, ~tie], atol=1e-4)
 
     @staticmethod
     def _tables_match(got, want, max_tie_rows_frac=0.05):
