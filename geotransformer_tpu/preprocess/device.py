@@ -12,9 +12,13 @@ extensions on the TPU itself:
     exactly, so parity is row-for-row, not just set-wise;
   * fixed-K radius neighbors
     (`/root/reference/geotransformer/extensions/cpu/radius_neighbors/radius_neighbors_cpu.cpp:29-87`)
-    becomes a query-blocked brute-force distance + exact chunked two-stage
-    top-K (chunk-local ``lax.top_k`` then a merge over chunk winners),
-    tiled so only ``(block, C_s)`` distance tiles ever materialize.
+    becomes, above a support-size threshold, the reference's own grid-binned
+    algorithm on device (:func:`_radius_search_cloud_grid`: bin support
+    points into radius-edge cells, sort once, dense-CSR starts, then each
+    query block gathers its 27-cell candidate runs and exact-sorts them);
+    small supports use the query-blocked brute-force distance + exact
+    two-stage top-K (:func:`_radius_search_cloud`), whose O(Q·C_s) beats
+    the grid's fixed costs there.
 
 Everything is fixed-capacity: clouds live in per-cloud capacity-``C``
 buffers with the sentinel/padding idiom of ``pad_registration_batch``
@@ -23,12 +27,13 @@ once per capacity signature and runs inside the device step — no host
 preprocessing and no host->device index tables.
 
 HONEST COST (demo pair, sym caps (19200, 5376, 1536, 512), all outputs
-live): ~445 ms on a v5e chip, dominated by the exact KNN sorts — brute
-force is O(N^2) where the host grid build is O(N), so the device build
-only beats the 135 ms/core host path when host cores are the bottleneck.
-An earlier "~1.3 ms" claim was a DCE-corrupted measurement (fetching one
-scalar let XLA eliminate the whole build — the same trap bench.py
-documents for train steps; always reduce over EVERY output when timing).
+live): ~300 ms on a v5e chip with the grid-binned search (was ~445 ms
+brute-force), dominated by the per-query-block candidate row-gathers and
+exact (d2, index) sorts; the device build beats the 135 ms/core host path
+when host cores are the bottleneck (this environment has ONE). An earlier
+"~1.3 ms" claim was a DCE-corrupted measurement (fetching one scalar let
+XLA eliminate the whole build — the same trap bench.py documents for train
+steps; always reduce over EVERY output when timing).
 
 Capacity overflows (more occupied voxels than a stage cap) cannot raise
 under jit; :func:`build_pyramid_device` returns a per-stage boolean

@@ -22,6 +22,11 @@ from geotransformer_tpu.models import create_model
 parser = argparse.ArgumentParser()
 parser.add_argument("--kitti", action="store_true")
 parser.add_argument("--top", type=int, default=40)
+parser.add_argument("--multiple", type=int, default=256,
+                    help="pair-fit cap rounding multiple")
+parser.add_argument("--calibrated", action="store_true",
+                    help="use the config's dataset-calibrated caps instead "
+                         "of pair-fit caps (bench.py calibrated_caps line)")
 args = parser.parse_args()
 
 if args.kitti:
@@ -40,8 +45,11 @@ lengths = np.asarray([len(ref), len(src)])
 pyr = build_pyramid(points, lengths, cfg.backbone.num_stages,
                     cfg.backbone.init_voxel_size, cfg.backbone.init_radius,
                     list(cfg.caps.neighbor_limits))
-caps = tuple(caps_for_pyramid(pyr, multiple=256, per_cloud=True))
-cfg = cfg.with_caps(stage_caps=caps)
+if args.calibrated:
+    caps = tuple(cfg.caps.stage_caps)
+else:
+    caps = tuple(caps_for_pyramid(pyr, multiple=args.multiple, per_cloud=True))
+    cfg = cfg.with_caps(stage_caps=caps)
 feats = np.ones((points.shape[0], cfg.backbone.input_dim), np.float32)
 # same fitted splits as bench.py's primary metric
 base = pad_registration_batch(pyr, feats, np.eye(4, dtype=np.float32), caps)

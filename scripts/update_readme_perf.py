@@ -41,12 +41,15 @@ def build_table(runs):
         "|---|---|---|",
     ]
     v = latest["value"]
+    vs = latest["vs_baseline"]
+    gate = ("MET" if vs >= 3.0 else "NOT met") + " (driver gate is ≥3.0×, i.e. ≥63 pairs/s)"
     rows.append(fmt_row(
         "full registration forward (inference, pair-fitted caps)",
         1000.0 / v, f"**{v:.1f} pairs/s**",
-        f"{latest['vs_baseline']:.2f}× the deliberately-hardened baseline of "
+        f"{vs:.2f}× the deliberately-hardened baseline of "
         f"21 pairs/s — the paper's RTX-3090 number scaled 1.5× toward "
-        f"\"A100-class\"; {v / 13.9:.2f}× the 3090 number itself{band}"))
+        f"\"A100-class\" — gate {gate}; "
+        f"{v / 13.9:.2f}× the 3090 number itself{band}"))
     if "calibrated_caps_pairs_per_sec" in latest:
         c = latest["calibrated_caps_pairs_per_sec"]
         rows.append(fmt_row(
