@@ -177,6 +177,12 @@ def local_to_global_registration(
     # non-mutual, per column), so per-patch top-T with T = k*K*(1 or 2)
     # provably contains every candidate; the flat single-stage top-C over
     # the full (P*K*K) tensor costs ~0.8 ms at 1M entries vs ~0.2 ms here.
+    # Tie caveat: on EXACT float ties at a row's k-th score _row_topk_mask
+    # keeps every tied entry, so a row can exceed k nonzeros and the k*K
+    # bound can drop the LOWEST-scoring candidates of that patch from the
+    # verification set — still the right ones to drop, and measure-zero for
+    # continuous f32 Sinkhorn scores (tests/test_lgr_ties.py pins both
+    # behaviors); revisit the bound if scores ever become bf16.
     per_patch_cap = min(num_k * num_k, k * num_k * (1 if mutual else 2))
     per_patch_cap = max(per_patch_cap, 1)
     if num_patches * per_patch_cap >= correspondence_limit:

@@ -22,8 +22,9 @@ from geotransformer_tpu.models import create_model
 parser = argparse.ArgumentParser()
 parser.add_argument("--kitti", action="store_true")
 parser.add_argument("--top", type=int, default=40)
-parser.add_argument("--multiple", type=int, default=256,
-                    help="pair-fit cap rounding multiple")
+parser.add_argument("--multiple", type=int, default=128,
+                    help="pair-fit cap rounding multiple (128 = the value "
+                         "bench.py's primary metric uses)")
 parser.add_argument("--calibrated", action="store_true",
                     help="use the config's dataset-calibrated caps instead "
                          "of pair-fit caps (bench.py calibrated_caps line)")

@@ -82,7 +82,9 @@ def main():
         raise SystemExit(f"README is missing the {START} marker")
     new = re.sub(
         re.escape(START) + r".*?" + re.escape(END),
-        START + "\n" + table + "\n" + END,
+        # lambda repl: the table is inserted literally (a backslash in a
+        # command-line label would otherwise be parsed as a regex escape)
+        lambda m: START + "\n" + table + "\n" + END,
         text,
         flags=re.S,
     )
