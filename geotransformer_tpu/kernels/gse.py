@@ -129,45 +129,67 @@ def _tile_indices(pn, pm, uk_ref, angle_k, inv_sigma_d, factor_a):
     return d_idx, a_idx
 
 
-def _gse_full_kernel(pn_ref, pm_ref, uk_ref, div_ref, wds_ref, wdc_ref,
-                     was_ref, wac_ref, b_ref, out_ref, *, angle_k,
-                     inv_sigma_d, factor_a):
+def _gse_full_kernel(nv_ref, pn_ref, pm_ref, uk_ref, div_ref, wds_ref,
+                     wdc_ref, was_ref, wac_ref, b_ref, out_ref, *, angle_k,
+                     inv_sigma_d, factor_a, tile_n, tile_m):
     tn = pn_ref.shape[0]
     tm = pm_ref.shape[0]
     c_out = out_ref.shape[-1]
-    div = div_ref[...]
 
-    d_idx, a_idx = _tile_indices(
-        pn_ref[...], pm_ref[...], uk_ref[...], angle_k, inv_sigma_d, factor_a
+    # Valid-rectangle skip: padded rows are a per-cloud PREFIX complement
+    # (rows [n_valid, N) are padding), so a tile computes real work iff both
+    # its row and column ranges intersect [0, n_valid). Skipped tiles write
+    # zeros (downstream attention masks padded keys; zeros keep everything
+    # finite) at pure store bandwidth — the MXU work (the kernel's entire
+    # cost at the hardware roof) only runs on the valid rectangle. At the
+    # 3DMatch calibrated cap (640 vs ~300-460 real superpoints) this skips
+    # ~half the quadratic tiles.
+    nv = nv_ref[0, 0]
+    tile_valid = jnp.logical_and(
+        pl.program_id(0) * tile_n < nv, pl.program_id(1) * tile_m < nv
     )
 
-    def embed(idx):
-        # (TN, TM, F): F on lanes, so each projection is ONE clean
-        # (TN*TM, F) @ (F, C) matmul after a (free) leading-dim merge —
-        # the previous (TN, F, TM) layout made Mosaic lower the middle-dim
-        # contraction as TN batched (TM, F) matmuls (~2.5x slower GSE).
-        om = idx[:, :, None] * div[0][None, None, :]
-        s, c = _fast_sincos(om)
-        return s.astype(BASIS_DTYPE), c.astype(BASIS_DTYPE)
+    @pl.when(jnp.logical_not(tile_valid))
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
 
-    def proj(sin_b, cos_b, ws, wc):
-        f = sin_b.shape[-1]
-        out = jax.lax.dot_general(
-            sin_b.reshape(tn * tm, f), ws, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            cos_b.reshape(tn * tm, f), wc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
+    @pl.when(tile_valid)
+    def _compute():
+        div = div_ref[...]
+        d_idx, a_idx = _tile_indices(
+            pn_ref[...], pm_ref[...], uk_ref[...], angle_k, inv_sigma_d,
+            factor_a
         )
-        return out.reshape(tn, tm, c_out)
 
-    sin_d, cos_d = embed(d_idx)
-    acc = proj(sin_d, cos_d, wds_ref[...], wdc_ref[...])
-    a_max = jnp.full((tn, tm, c_out), -jnp.inf, dtype=jnp.float32)
-    for k in range(angle_k):
-        sin_a, cos_a = embed(a_idx[k])
-        a_max = jnp.maximum(a_max, proj(sin_a, cos_a, was_ref[...], wac_ref[...]))
-    out_ref[...] = (acc + a_max + b_ref[...][None]).astype(out_ref.dtype)
+        def embed(idx):
+            # (TN, TM, F): F on lanes, so each projection is ONE clean
+            # (TN*TM, F) @ (F, C) matmul after a (free) leading-dim merge —
+            # the previous (TN, F, TM) layout made Mosaic lower the
+            # middle-dim contraction as TN batched (TM, F) matmuls
+            # (~2.5x slower GSE).
+            om = idx[:, :, None] * div[0][None, None, :]
+            s, c = _fast_sincos(om)
+            return s.astype(BASIS_DTYPE), c.astype(BASIS_DTYPE)
+
+        def proj(sin_b, cos_b, ws, wc):
+            f = sin_b.shape[-1]
+            out = jax.lax.dot_general(
+                sin_b.reshape(tn * tm, f), ws, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                cos_b.reshape(tn * tm, f), wc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return out.reshape(tn, tm, c_out)
+
+        sin_d, cos_d = embed(d_idx)
+        acc = proj(sin_d, cos_d, wds_ref[...], wdc_ref[...])
+        a_max = jnp.full((tn, tm, c_out), -jnp.inf, dtype=jnp.float32)
+        for k in range(angle_k):
+            sin_a, cos_a = embed(a_idx[k])
+            a_max = jnp.maximum(
+                a_max, proj(sin_a, cos_a, was_ref[...], wac_ref[...]))
+        out_ref[...] = (acc + a_max + b_ref[...][None]).astype(out_ref.dtype)
 
 
 def _aug_points(points):
@@ -199,7 +221,7 @@ def _pack_args(points, ref_vectors, w_d, b_d, w_a, b_a, hidden_dim):
 
 def gse_embedding_full(
     points, ref_vectors, w_d, b_d, w_a, b_a, hidden_dim, sigma_d, sigma_a,
-    tile_n=64, tile_m=128, interpret=None,
+    tile_n=64, tile_m=128, interpret=None, n_valid=None,
 ):
     """Fully fused GSE: distances, triplet angles, sinusoidal bases,
     projections, and max-k — all in VMEM. Only points (N, 3), the k-NN
@@ -207,6 +229,11 @@ def gse_embedding_full(
 
     Matches GeometricStructureEmbedding (reduction 'max') exactly up to the
     bf16 basis precision.
+
+    ``n_valid`` (traced int32 scalar, optional): rows [n_valid, N) are
+    padding; tiles entirely inside the padding band are skipped and written
+    as zeros (the valid-rectangle skip). Defaults to N (compute every tile —
+    the pre-skip behavior, which embeds the PAD_COORD garbage points).
     """
     n = points.shape[0]
     angle_k = ref_vectors.shape[1]
@@ -220,6 +247,9 @@ def gse_embedding_full(
     p_n = jnp.pad(p_aug, ((0, pad_n - n), (0, 0)))
     p_m = jnp.pad(p_aug, ((0, pad_m - n), (0, 0)))
     u_aug = jnp.pad(u_aug, ((0, pad_n - n), (0, 0)))
+    if n_valid is None:
+        n_valid = n
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
 
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -227,11 +257,13 @@ def gse_embedding_full(
         _gse_full_kernel, angle_k=angle_k,
         inv_sigma_d=float(1.0 / sigma_d),
         factor_a=float(180.0 / (sigma_a * np.pi)),
+        tile_n=tile_n, tile_m=tile_m,
     )
     out = pl.pallas_call(
         kernel,
         grid=(pad_n // tile_n, pad_m // tile_m),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_n, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_m, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -251,74 +283,14 @@ def gse_embedding_full(
         out_shape=jax.ShapeDtypeStruct((pad_n, pad_m, c), EMBED_DTYPE),
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(p_n, p_m, u_aug, div_term, wds, wdc, was, wac, bias)
+    )(nv, p_n, p_m, u_aug, div_term, wds, wdc, was, wac, bias)
     return out[:n, :n]
 
 
-def _gse_full_bwd_kernel(pn_ref, pm_ref, uk_ref, de_ref, div_ref, was_ref,
-                         wac_ref, dwds_ref, dwdc_ref, dwas_ref, dwac_ref,
-                         db_ref, *, angle_k, inv_sigma_d, factor_a):
-    div = div_ref[...]
-    de = de_ref[...]
-
-    d_idx, a_idx = _tile_indices(
-        pn_ref[...], pm_ref[...], uk_ref[...], angle_k, inv_sigma_d, factor_a
-    )
-
-    tn_b = de.shape[0]
-    tm_b = de.shape[1]
-
-    def embed(idx):
-        # (TN, TM, F) — see _gse_full_kernel: one clean matmul per proj.
-        om = idx[:, :, None] * div[0][None, None, :]
-        s, c = _fast_sincos(om)
-        return s.astype(BASIS_DTYPE), c.astype(BASIS_DTYPE)
-
-    def proj(sin_b, cos_b, ws, wc):
-        f = sin_b.shape[-1]
-        out = jax.lax.dot_general(
-            sin_b.reshape(tn_b * tm_b, f), ws, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        ) + jax.lax.dot_general(
-            cos_b.reshape(tn_b * tm_b, f), wc, (((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )
-        return out.reshape(tn_b, tm_b, -1)
-
-    def wgrad(basis, cot):
-        f = basis.shape[-1]
-        return jax.lax.dot_general(
-            basis.reshape(tn_b * tm_b, f),
-            cot.reshape(tn_b * tm_b, -1).astype(BASIS_DTYPE),
-            (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-        )  # (F, C)
-
-    sin_d, cos_d = embed(d_idx)
-    dwds = wgrad(sin_d, de)
-    dwdc = wgrad(cos_d, de)
-
-    bases = []
-    e_max = jnp.full(de.shape, -jnp.inf, dtype=jnp.float32)
-    for k in range(angle_k):
-        sin_a, cos_a = embed(a_idx[k])
-        bases.append((sin_a, cos_a))
-        e_max = jnp.maximum(e_max, proj(sin_a, cos_a, was_ref[...], wac_ref[...]))
-
-    dwas = jnp.zeros_like(dwds)
-    dwac = jnp.zeros_like(dwdc)
-    taken = jnp.zeros(de.shape, dtype=jnp.bool_)
-    for k in range(angle_k):
-        sin_a, cos_a = bases[k]
-        e_k = proj(sin_a, cos_a, was_ref[...], wac_ref[...])
-        mask = jnp.logical_and(e_k >= e_max, jnp.logical_not(taken))
-        taken = jnp.logical_or(taken, mask)
-        cot = jnp.where(mask, de.astype(jnp.float32), 0.0)
-        dwas = dwas + wgrad(sin_a, cot)
-        dwac = dwac + wgrad(cos_a, cot)
-
-    db = jnp.sum(de.astype(jnp.float32), axis=(0, 1))[None, :]
-
+def _gse_full_bwd_kernel(nv_ref, pn_ref, pm_ref, uk_ref, de_ref, div_ref,
+                         was_ref, wac_ref, dwds_ref, dwdc_ref, dwas_ref,
+                         dwac_ref, db_ref, *, angle_k, inv_sigma_d, factor_a,
+                         tile_n, tile_m):
     @pl.when(jnp.logical_and(pl.program_id(0) == 0, pl.program_id(1) == 0))
     def _init():
         dwds_ref[...] = jnp.zeros_like(dwds_ref)
@@ -327,15 +299,84 @@ def _gse_full_bwd_kernel(pn_ref, pm_ref, uk_ref, de_ref, div_ref, was_ref,
         dwac_ref[...] = jnp.zeros_like(dwac_ref)
         db_ref[...] = jnp.zeros_like(db_ref)
 
-    dwds_ref[...] += dwds
-    dwdc_ref[...] += dwdc
-    dwas_ref[...] += dwas
-    dwac_ref[...] += dwac
-    db_ref[...] += db
+    # Valid-rectangle skip (see _gse_full_kernel): the forward writes
+    # constant zeros at skipped tiles, so their true parameter-gradient
+    # contribution is exactly zero — skipping the accumulation is exact.
+    nv = nv_ref[0, 0]
+    tile_valid = jnp.logical_and(
+        pl.program_id(0) * tile_n < nv, pl.program_id(1) * tile_m < nv
+    )
+
+    @pl.when(tile_valid)
+    def _accumulate():
+        div = div_ref[...]
+        de = de_ref[...]
+
+        d_idx, a_idx = _tile_indices(
+            pn_ref[...], pm_ref[...], uk_ref[...], angle_k, inv_sigma_d,
+            factor_a
+        )
+
+        tn_b = de.shape[0]
+        tm_b = de.shape[1]
+
+        def embed(idx):
+            # (TN, TM, F) — see _gse_full_kernel: one clean matmul per proj.
+            om = idx[:, :, None] * div[0][None, None, :]
+            s, c = _fast_sincos(om)
+            return s.astype(BASIS_DTYPE), c.astype(BASIS_DTYPE)
+
+        def proj(sin_b, cos_b, ws, wc):
+            f = sin_b.shape[-1]
+            out = jax.lax.dot_general(
+                sin_b.reshape(tn_b * tm_b, f), ws, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) + jax.lax.dot_general(
+                cos_b.reshape(tn_b * tm_b, f), wc, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            return out.reshape(tn_b, tm_b, -1)
+
+        def wgrad(basis, cot):
+            f = basis.shape[-1]
+            return jax.lax.dot_general(
+                basis.reshape(tn_b * tm_b, f),
+                cot.reshape(tn_b * tm_b, -1).astype(BASIS_DTYPE),
+                (((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (F, C)
+
+        sin_d, cos_d = embed(d_idx)
+        dwds_ref[...] += wgrad(sin_d, de)
+        dwdc_ref[...] += wgrad(cos_d, de)
+
+        bases = []
+        e_max = jnp.full(de.shape, -jnp.inf, dtype=jnp.float32)
+        for k in range(angle_k):
+            sin_a, cos_a = embed(a_idx[k])
+            bases.append((sin_a, cos_a))
+            e_max = jnp.maximum(
+                e_max, proj(sin_a, cos_a, was_ref[...], wac_ref[...]))
+
+        dwas = jnp.zeros(dwas_ref.shape, dwas_ref.dtype)
+        dwac = jnp.zeros(dwac_ref.shape, dwac_ref.dtype)
+        taken = jnp.zeros(de.shape, dtype=jnp.bool_)
+        for k in range(angle_k):
+            sin_a, cos_a = bases[k]
+            e_k = proj(sin_a, cos_a, was_ref[...], wac_ref[...])
+            mask = jnp.logical_and(e_k >= e_max, jnp.logical_not(taken))
+            taken = jnp.logical_or(taken, mask)
+            cot = jnp.where(mask, de.astype(jnp.float32), 0.0)
+            dwas = dwas + wgrad(sin_a, cot)
+            dwac = dwac + wgrad(cos_a, cot)
+
+        dwas_ref[...] += dwas
+        dwac_ref[...] += dwac
+        db_ref[...] += jnp.sum(de.astype(jnp.float32), axis=(0, 1))[None, :]
 
 
 def _gse_full_bwd(points, ref_vectors, w_a, hidden_dim, sigma_d, sigma_a, de,
-                  tile_n=32, tile_m=128, interpret=None):
+                  tile_n=32, tile_m=128, interpret=None, n_valid=None):
     n = points.shape[0]
     angle_k = ref_vectors.shape[1]
     c = hidden_dim
@@ -356,6 +397,9 @@ def _gse_full_bwd(points, ref_vectors, w_a, hidden_dim, sigma_d, sigma_a, de,
     p_m = jnp.pad(p_aug, ((0, pad_m - n), (0, 0)))
     u_aug = jnp.pad(u_aug, ((0, pad_n - n), (0, 0)))
     de = jnp.pad(de, ((0, pad_n - n), (0, pad_m - n), (0, 0)))
+    if n_valid is None:
+        n_valid = n
+    nv = jnp.asarray(n_valid, jnp.int32).reshape(1, 1)
 
     if interpret is None:
         interpret = jax.devices()[0].platform != "tpu"
@@ -363,12 +407,14 @@ def _gse_full_bwd(points, ref_vectors, w_a, hidden_dim, sigma_d, sigma_a, de,
         _gse_full_bwd_kernel, angle_k=angle_k,
         inv_sigma_d=float(1.0 / sigma_d),
         factor_a=float(180.0 / (sigma_a * np.pi)),
+        tile_n=tile_n, tile_m=tile_m,
     )
     acc_spec = pl.BlockSpec((f, c), lambda i, j: (0, 0), memory_space=pltpu.VMEM)
     dwds, dwdc, dwas, dwac, db = pl.pallas_call(
         kernel,
         grid=(pad_n // tile_n, pad_m // tile_m),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),
             pl.BlockSpec((tile_n, 8), lambda i, j: (i, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((tile_m, 8), lambda i, j: (j, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec(
@@ -396,7 +442,7 @@ def _gse_full_bwd(points, ref_vectors, w_a, hidden_dim, sigma_d, sigma_a, de,
         ],
         compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
         interpret=interpret,
-    )(p_n, p_m, u_aug, de, div_term, was, wac)
+    )(nv, p_n, p_m, u_aug, de, div_term, was, wac)
 
     dw_d = jnp.zeros((c, c), jnp.float32).at[0::2].set(dwds).at[1::2].set(dwdc)
     dw_a = jnp.zeros((c, c), jnp.float32).at[0::2].set(dwas).at[1::2].set(dwac)
@@ -404,32 +450,38 @@ def _gse_full_bwd(points, ref_vectors, w_a, hidden_dim, sigma_d, sigma_a, de,
     return dw_d, db, dw_a, db
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(6, 7, 8))
+@functools.partial(jax.custom_vjp, nondiff_argnums=(7, 8, 9))
 def gse_embedding_full_diff(
-    points, ref_vectors, w_d, b_d, w_a, b_a, hidden_dim, sigma_d, sigma_a
+    points, ref_vectors, w_d, b_d, w_a, b_a, n_valid, hidden_dim, sigma_d,
+    sigma_a
 ):
     """Differentiable fully-fused GSE (projection-parameter gradients only;
     points/reference vectors are constants — the reference computes all
-    embedding indices under no_grad, geotransformer.py:57-71)."""
+    embedding indices under no_grad, geotransformer.py:57-71). ``n_valid``
+    is the traced valid-prefix length for the rectangle skip (pass the row
+    count for the full computation)."""
     return gse_embedding_full(
-        points, ref_vectors, w_d, b_d, w_a, b_a, hidden_dim, sigma_d, sigma_a
+        points, ref_vectors, w_d, b_d, w_a, b_a, hidden_dim, sigma_d,
+        sigma_a, n_valid=n_valid,
     )
 
 
-def _gse_full_diff_fwd(points, ref_vectors, w_d, b_d, w_a, b_a, hidden_dim,
-                       sigma_d, sigma_a):
+def _gse_full_diff_fwd(points, ref_vectors, w_d, b_d, w_a, b_a, n_valid,
+                       hidden_dim, sigma_d, sigma_a):
     out = gse_embedding_full(
-        points, ref_vectors, w_d, b_d, w_a, b_a, hidden_dim, sigma_d, sigma_a
+        points, ref_vectors, w_d, b_d, w_a, b_a, hidden_dim, sigma_d,
+        sigma_a, n_valid=n_valid,
     )
-    return out, (points, ref_vectors, w_a)
+    return out, (points, ref_vectors, w_a, n_valid)
 
 
 def _gse_full_diff_bwd(hidden_dim, sigma_d, sigma_a, res, de):
-    points, ref_vectors, w_a = res
+    points, ref_vectors, w_a, n_valid = res
     dw_d, db_d, dw_a, db_a = _gse_full_bwd(
-        points, ref_vectors, w_a, hidden_dim, sigma_d, sigma_a, de
+        points, ref_vectors, w_a, hidden_dim, sigma_d, sigma_a, de,
+        n_valid=n_valid,
     )
-    return (None, None, dw_d, db_d, dw_a, db_a)
+    return (None, None, dw_d, db_d, dw_a, db_a, None)
 
 
 gse_embedding_full_diff.defvjp(_gse_full_diff_fwd, _gse_full_diff_bwd)

@@ -98,13 +98,29 @@ class GeometricStructureEmbedding(nn.Module):
             ref_vectors = knn_points - points[:, :, None, :]  # (B, N, k, 3)
             ref_vectors = jax.lax.stop_gradient(ref_vectors)
             pts = jax.lax.stop_gradient(points)
+            # Valid-rectangle skip: padded nodes are a suffix in the pair
+            # frame, so the kernel can skip (and zero) tiles entirely inside
+            # the padding band — at the 3DMatch calibrated cap that is ~half
+            # the quadratic MXU work. Guarded: a non-prefix mask (never
+            # produced by pad_registration_batch, but allowed by this module
+            # API) falls back to computing every tile.
+            num_point = points.shape[1]
+            if masks is not None:
+                is_prefix = jnp.all(
+                    masks[:, :-1].astype(jnp.int32)
+                    >= masks[:, 1:].astype(jnp.int32), axis=1)
+                n_valid = jnp.where(
+                    is_prefix, jnp.sum(masks.astype(jnp.int32), axis=1),
+                    num_point).astype(jnp.int32)
+            else:
+                n_valid = jnp.full((points.shape[0],), num_point, jnp.int32)
             return jax.vmap(
-                lambda p, u: gse_embedding_full_diff(
-                    p, u, w_d, b_d, w_a, b_a,
+                lambda p, u, nv: gse_embedding_full_diff(
+                    p, u, w_d, b_d, w_a, b_a, nv,
                     self.hidden_dim, self.sigma_d, self.sigma_a,
                 ),
-                in_axes=(0, 0),
-            )(pts, ref_vectors)
+                in_axes=(0, 0, 0),
+            )(pts, ref_vectors, n_valid)
 
         d_indices, a_indices = self.get_embedding_indices(points, masks)
         d_indices = jax.lax.stop_gradient(d_indices)

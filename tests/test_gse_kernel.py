@@ -95,3 +95,78 @@ class TestGSEShapes:
 
     def test_angle_k_2(self, rng):
         self._check(rng, n=50, hidden=64, sigma_d=0.2, sigma_a=15.0, k=2)
+
+
+class TestGSERectangleSkip:
+    """Valid-rectangle tile skip: masked-prefix clouds skip padding tiles
+    (zero output) while the valid rectangle matches the XLA module."""
+
+    def test_multi_tile_skip_zeros_and_parity(self, rng):
+        # n=200 spans several 64x128 tiles; valid prefix 90 leaves whole
+        # tiles (rows 128.., cols 128..) inside the padding band
+        n, nv = 200, 90
+        points = np.asarray(rng.uniform(0, 1, (1, n, 3)), np.float32)
+        points[0, nv:] = 1.0e6  # PAD_COORD convention
+        points = jnp.asarray(points)
+        masks = jnp.asarray(np.arange(n) < nv)[None]
+        xla = GeometricStructureEmbedding(64, 0.2, 15.0, 3)
+        fused = GeometricStructureEmbedding(64, 0.2, 15.0, 3, use_pallas=True)
+        variables = xla.init(jax.random.PRNGKey(0), points, masks)
+        want = np.asarray(xla.apply(variables, points, masks))
+        got = np.asarray(fused.apply(variables, points, masks))
+        np.testing.assert_allclose(
+            got[:, :nv, :nv], want[:, :nv, :nv], rtol=2e-2, atol=1e-2)
+        # tiles fully inside the padding band are written as exact zeros
+        assert (got[:, 128:, :] == 0).all()
+        assert (got[:, :, 128:] == 0).all()
+        assert np.isfinite(got).all()
+
+    def test_non_prefix_mask_falls_back_to_full(self, rng):
+        # a hole in the mask (never produced by pad_registration_batch) must
+        # disable the skip: every valid-row pair still matches the XLA module
+        n = 70
+        m = np.ones(n, bool)
+        m[10:20] = False
+        masks = jnp.asarray(m)[None]
+        points = jnp.asarray(rng.uniform(0, 1, (1, n, 3)), jnp.float32)
+        xla = GeometricStructureEmbedding(64, 0.2, 15.0, 3)
+        fused = GeometricStructureEmbedding(64, 0.2, 15.0, 3, use_pallas=True)
+        variables = xla.init(jax.random.PRNGKey(0), points, masks)
+        want = np.asarray(xla.apply(variables, points, masks))
+        got = np.asarray(fused.apply(variables, points, masks))
+        valid = np.nonzero(m)[0]
+        np.testing.assert_allclose(
+            got[:, valid][:, :, valid], want[:, valid][:, :, valid],
+            rtol=2e-2, atol=1e-2)
+
+    def test_masked_param_grads_match_xla(self, rng):
+        """Training-path exactness: cotangents vanish at masked slots (the
+        attention mask is a where-select), so the skipped tiles contribute
+        exactly zero gradient — parity with the XLA module under a masked
+        cotangent."""
+        n, nv = 200, 90
+        points = jnp.asarray(rng.uniform(0, 1, (1, n, 3)), jnp.float32)
+        masks = jnp.asarray(np.arange(n) < nv)[None]
+        cot = np.asarray(rng.normal(size=(1, n, n, 64)), np.float32)
+        cot[0, nv:] = 0.0
+        cot[0, :, nv:] = 0.0
+        cot = jnp.asarray(cot)
+        xla = GeometricStructureEmbedding(64, 0.2, 15.0, 3)
+        fused = GeometricStructureEmbedding(64, 0.2, 15.0, 3, use_pallas=True)
+        variables = xla.init(jax.random.PRNGKey(0), points, masks)
+
+        def loss(mod):
+            return lambda params: jnp.sum(
+                mod.apply({**variables, "params": params}, points, masks) * cot
+            )
+
+        g_xla = jax.grad(loss(xla))(variables["params"])
+        g_fused = jax.grad(loss(fused))(variables["params"])
+        for name in ("proj_d", "proj_a"):
+            for leaf in ("kernel", "bias"):
+                a = np.asarray(g_xla[name][leaf])
+                b = np.asarray(g_fused[name][leaf])
+                scale = np.abs(a).max() + 1e-8
+                rel = np.abs(b - a) / scale
+                assert (rel > 5e-2).mean() <= 0.005, (
+                    f"{name}/{leaf}: max rel {rel.max():.3f}")
