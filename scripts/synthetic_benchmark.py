@@ -68,7 +68,18 @@ def main():
     parser.add_argument("--steps", type=int, default=2000)
     parser.add_argument("--scale", choices=("full", "small"), default="full")
     parser.add_argument("--num_workers", type=int, default=8)
-    parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--seed", type=int, default=0,
+                        help="DATA seed (scene generation); keep fixed when "
+                             "comparing kernel paths so RR is measured on "
+                             "identical train/test pairs")
+    parser.add_argument("--model_seed", type=int, default=None,
+                        help="model-init + shuffle seed (cfg.seed); vary this "
+                             "for seed-controlled repeats on fixed data")
+    parser.add_argument("--test_fragments", type=int, default=6,
+                        help="fragments per test scene (full scale); 10 gives "
+                             "~90 pairs -> ~1%% RR resolution vs 5%% at 6")
+    parser.add_argument("--lr", type=float, default=None,
+                        help="override the schedule-selected base lr")
     parser.add_argument("--skip_eval_script", action="store_true",
                         help="stop after the feature dump (for tests)")
     parser.add_argument("--force_pallas", choices=("auto", "true", "false"),
@@ -92,8 +103,9 @@ def main():
             num_scenes=4, fragments_per_scene=8, num_points=60000,
             point_limit=12000, seed=args.seed, scene_prefix="synth-train-")
         test_set = SyntheticSceneBenchmark(
-            num_scenes=2, fragments_per_scene=6, num_points=60000,
-            point_limit=12000, seed=args.seed + 777, scene_prefix="synth-test-")
+            num_scenes=2, fragments_per_scene=args.test_fragments,
+            num_points=60000, point_limit=12000, seed=args.seed + 777,
+            scene_prefix="synth-test-")
     else:
         cfg = small_config()
         train_set = SyntheticSceneBenchmark(
@@ -114,12 +126,18 @@ def main():
     test_set.write_benchmark(benchmark_root)
 
     # capacity calibration over the synthetic distribution (the reference's
-    # calibrate_neighbors_stack_mode idea, utils/data.py:192-217)
+    # calibrate_neighbors_stack_mode idea, utils/data.py:192-217). The test
+    # set is deterministic (fragments precomputed at construction), so
+    # including EVERY test pair makes test-time capacity overflow impossible
+    # by construction rather than probabilistically.
+    import itertools
+    n_cal = 32 + len(test_set)
     caps = calibrate_stage_caps(
-        (train_set[i % len(train_set)] for i in range(32)),
+        itertools.chain((train_set[i % len(train_set)] for i in range(32)),
+                        (test_set[i] for i in range(len(test_set)))),
         cfg.backbone.num_stages, cfg.backbone.init_voxel_size,
         cfg.backbone.init_radius, list(cfg.caps.neighbor_limits),
-        num_samples=32,
+        num_samples=n_cal,
     )
     caps = tuple(caps)
     cfg = cfg.with_caps(stage_caps=caps)
@@ -149,13 +167,14 @@ def main():
     # ---- train (iteration-based so --steps maps directly) ----
     steps_per_epoch = max(len(train_set), 1)
     max_epoch = -(-args.steps // steps_per_epoch)
+    lr = args.lr if args.lr is not None else (
+        # the bf16_drift convergence recipe: slightly higher lr for the
+        # short synthetic schedule
+        3e-4 if args.steps <= 4000 else cfg.optim.lr)
     cfg = dataclasses.replace(
-        cfg, optim=dataclasses.replace(
-            cfg.optim, max_epoch=max_epoch,
-            # the bf16_drift convergence recipe: slightly higher lr for the
-            # short synthetic schedule
-            lr=3e-4 if args.steps <= 4000 else cfg.optim.lr,
-        ))
+        cfg, optim=dataclasses.replace(cfg.optim, max_epoch=max_epoch, lr=lr))
+    if args.model_seed is not None:
+        cfg = dataclasses.replace(cfg, seed=args.model_seed)
     model = create_model(cfg)
     train_loader = PairLoader(
         train_set, train_pipeline_cfg, batch_size=1, shuffle=True,
