@@ -24,6 +24,24 @@ from geotransformer_tpu.ops.pairwise_distance import pairwise_distance
 from geotransformer_tpu.ops.embedding import sinusoidal_embedding
 
 
+def prefix_valid_count(masks, num_point):
+    """Per-batch count of valid rows for the valid-prefix kernels.
+
+    Padded rows are a per-cloud suffix under pad_registration_batch, so the
+    count doubles as the prefix length; a non-prefix mask (allowed by the
+    module APIs, never produced by the loader) falls back to ``num_point``
+    (compute every tile — always correct, never fast).
+    """
+    if masks is None:
+        return None
+    is_prefix = jnp.all(
+        masks[:, :-1].astype(jnp.int32) >= masks[:, 1:].astype(jnp.int32),
+        axis=1)
+    return jnp.where(
+        is_prefix, jnp.sum(masks.astype(jnp.int32), axis=1), num_point
+    ).astype(jnp.int32)
+
+
 class GeometricStructureEmbedding(nn.Module):
     """Pairwise distance + k-NN triplet angle embedding for superpoints."""
 
@@ -105,14 +123,8 @@ class GeometricStructureEmbedding(nn.Module):
             # produced by pad_registration_batch, but allowed by this module
             # API) falls back to computing every tile.
             num_point = points.shape[1]
-            if masks is not None:
-                is_prefix = jnp.all(
-                    masks[:, :-1].astype(jnp.int32)
-                    >= masks[:, 1:].astype(jnp.int32), axis=1)
-                n_valid = jnp.where(
-                    is_prefix, jnp.sum(masks.astype(jnp.int32), axis=1),
-                    num_point).astype(jnp.int32)
-            else:
+            n_valid = prefix_valid_count(masks, num_point)
+            if n_valid is None:
                 n_valid = jnp.full((points.shape[0],), num_point, jnp.int32)
             return jax.vmap(
                 lambda p, u, nv: gse_embedding_full_diff(
@@ -197,9 +209,10 @@ class _PairBiasProjection(nn.Module):
 
     d_model: int
     num_heads: int
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, q, embed_qk):
+    def __call__(self, q, embed_qk, n_valid=None):
         d_head = self.d_model // self.num_heads
         kernel = self.param(
             "kernel", nn.initializers.lecun_normal(), (self.d_model, self.d_model)
@@ -207,10 +220,20 @@ class _PairBiasProjection(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.d_model,))
         # (B, H, N, dh) x (D, H, dh) -> (B, H, N, D)
         w = kernel.reshape(self.d_model, self.num_heads, d_head)
-        qw = jnp.einsum("bhnc,dhc->bhnd", q, w)
         qb = jnp.einsum("bhnc,hc->bhn", q, bias.reshape(self.num_heads, d_head))
-        scores_p = jnp.einsum("bnmd,bhnd->bhnm", embed_qk, qw) + qb[..., None]
-        return scores_p
+        if self.use_pallas and q.shape[0] == 1:
+            # Pallas pair-score kernel: reads the (N, M, C) embedding once
+            # with the valid-rectangle tile skip (kernels/attention.py).
+            from geotransformer_tpu.kernels.attention import rpe_pair_scores_diff
+
+            qw_nh = jnp.einsum("bhnc,dhc->bnhd", q, w)[0]  # (N, H, D)
+            nv = None if n_valid is None else n_valid[0]
+            scores_p = rpe_pair_scores_diff(embed_qk[0], qw_nh, nv, nv)
+            scores_p = scores_p.transpose(1, 0, 2)[None]  # (1, H, N, M)
+        else:
+            qw = jnp.einsum("bhnc,dhc->bhnd", q, w)
+            scores_p = jnp.einsum("bnmd,bhnd->bhnm", embed_qk, qw)
+        return scores_p + qb[..., None]
 
 
 class RPEMultiHeadAttention(nn.Module):
@@ -218,6 +241,7 @@ class RPEMultiHeadAttention(nn.Module):
 
     d_model: int
     num_heads: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, input_q, input_k, input_v, embed_qk, key_masks=None):
@@ -227,9 +251,11 @@ class RPEMultiHeadAttention(nn.Module):
         v = _split_heads(nn.Dense(self.d_model, name="proj_v")(input_v), self.num_heads)
 
         scores_e = jnp.einsum("bhnc,bhmc->bhnm", q, k)
-        scores_p = _PairBiasProjection(self.d_model, self.num_heads, name="proj_p")(
-            q, embed_qk
-        )
+        n_valid = prefix_valid_count(key_masks, input_q.shape[1])
+        scores_p = _PairBiasProjection(
+            self.d_model, self.num_heads, use_pallas=self.use_pallas,
+            name="proj_p",
+        )(q, embed_qk, n_valid=n_valid)
         scores = (scores_e + scores_p) / jnp.sqrt(jnp.asarray(d_head, q.dtype))
         scores = _masked_softmax(scores, key_masks)
         hidden = jnp.einsum("bhnm,bhmc->bhnc", scores, v)
@@ -269,11 +295,13 @@ class AttentionLayer(nn.Module):
 class RPEAttentionLayer(nn.Module):
     d_model: int
     num_heads: int
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, input_states, memory_states, position_states, memory_masks=None):
         hidden, scores = RPEMultiHeadAttention(
-            self.d_model, self.num_heads, name="attention"
+            self.d_model, self.num_heads, use_pallas=self.use_pallas,
+            name="attention"
         )(input_states, memory_states, memory_states, position_states, key_masks=memory_masks)
         hidden = nn.Dense(self.d_model, name="linear")(hidden)
         out = LayerNorm(self.d_model, name="norm")(hidden + input_states)
@@ -298,10 +326,13 @@ class RPETransformerLayer(nn.Module):
     d_model: int
     num_heads: int
     activation_fn: str = "ReLU"
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, input_states, memory_states, position_states, memory_masks=None):
-        hidden, scores = RPEAttentionLayer(self.d_model, self.num_heads, name="attention")(
+        hidden, scores = RPEAttentionLayer(
+            self.d_model, self.num_heads, use_pallas=self.use_pallas,
+            name="attention")(
             input_states, memory_states, position_states, memory_masks=memory_masks
         )
         out = AttentionOutput(self.d_model, self.activation_fn, name="output")(hidden)
@@ -369,13 +400,15 @@ class RPEConditionalTransformer(nn.Module):
     num_heads: int
     activation_fn: str = "ReLU"
     parallel: bool = False
+    use_pallas: bool = False
 
     @nn.compact
     def __call__(self, feats0, feats1, embeddings0, embeddings1, masks0=None, masks1=None):
         for i, block in enumerate(self.blocks):
             if block == "self":
                 layer = RPETransformerLayer(
-                    self.d_model, self.num_heads, self.activation_fn, name=f"layers_{i}"
+                    self.d_model, self.num_heads, self.activation_fn,
+                    use_pallas=self.use_pallas, name=f"layers_{i}"
                 )
                 feats0, _ = layer(feats0, feats0, embeddings0, memory_masks=masks0)
                 feats1, _ = layer(feats1, feats1, embeddings1, memory_masks=masks1)
@@ -428,7 +461,7 @@ class GeometricTransformer(nn.Module):
 
         ref_feats, src_feats = RPEConditionalTransformer(
             tuple(self.blocks), self.hidden_dim, self.num_heads,
-            self.activation_fn, name="transformer",
+            self.activation_fn, use_pallas=self.use_pallas, name="transformer",
         )(ref_feats, src_feats, ref_embeddings, src_embeddings,
           masks0=ref_masks, masks1=src_masks)
 

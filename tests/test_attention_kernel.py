@@ -1,0 +1,112 @@
+"""Parity tests for the Pallas RPE pair-bias score kernel
+(kernels/attention.py) vs the XLA einsum module path.
+
+CPU runs exercise interpret mode (the kernel defaults to interpret off-TPU),
+mirroring the other kernel parity suites.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from geotransformer_tpu.kernels.attention import (
+    rpe_pair_scores, rpe_pair_scores_diff,
+)
+
+
+def _ref_scores(embed, qw):
+    # scores[i, h, j] = sum_c qw[i, h, c] * e[i, j, c], bf16 operands with
+    # f32 accumulation (the kernel's — and the XLA fusion's — dtype class).
+    return jnp.einsum(
+        "nmc,nhc->nhm",
+        embed.astype(jnp.bfloat16).astype(jnp.float32),
+        qw.astype(jnp.bfloat16).astype(jnp.float32),
+    )
+
+
+@pytest.mark.parametrize("n,m,c,h", [(128, 128, 64, 4), (192, 128, 128, 4)])
+def test_pair_scores_parity(n, m, c, h):
+    rng = np.random.default_rng(0)
+    embed = jnp.asarray(rng.normal(size=(n, m, c)).astype(np.float32))
+    qw = jnp.asarray(rng.normal(size=(n, h, c)).astype(np.float32))
+    out = rpe_pair_scores(embed.astype(jnp.bfloat16), qw)
+    ref = _ref_scores(embed, qw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_pair_scores_valid_rectangle_skip():
+    n, c, h = 256, 64, 4
+    rng = np.random.default_rng(1)
+    embed = jnp.asarray(rng.normal(size=(n, n, c)).astype(np.float32))
+    qw = jnp.asarray(rng.normal(size=(n, h, c)).astype(np.float32))
+    nv = 100
+    out = rpe_pair_scores(embed, qw, n_valid_q=jnp.int32(nv),
+                          n_valid_k=jnp.int32(nv), tile_i=64, tile_j=64)
+    full = rpe_pair_scores(embed, qw, tile_i=64, tile_j=64)
+    # tiles intersecting the valid rectangle match the full computation
+    # (the skip is tile-granular: valid region rounds up to 128 = 2 tiles)
+    np.testing.assert_array_equal(np.asarray(out[:128, :, :128]),
+                                  np.asarray(full[:128, :, :128]))
+    # tiles entirely inside the padding band are exactly zero
+    assert np.all(np.asarray(out[128:]) == 0.0)
+    assert np.all(np.asarray(out[:, :, 128:]) == 0.0)
+
+
+def test_pair_scores_nonaligned_pad():
+    # N, M not multiples of the tiles: wrapper pads and crops.
+    n, m, c, h = 96, 80, 64, 4
+    rng = np.random.default_rng(2)
+    embed = jnp.asarray(rng.normal(size=(n, m, c)).astype(np.float32))
+    qw = jnp.asarray(rng.normal(size=(n, h, c)).astype(np.float32))
+    out = rpe_pair_scores(embed, qw, tile_i=64, tile_j=64)
+    ref = _ref_scores(embed, qw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
+def test_pair_scores_grad_matches_einsum():
+    """The custom_vjp backward IS the einsum path's backward: pulling back
+    the same cotangent must match to f32 precision (the bf16 class applies
+    to the forward only)."""
+    n, c, h = 128, 64, 4
+    rng = np.random.default_rng(3)
+    embed = jnp.asarray(rng.normal(size=(n, n, c)).astype(np.float32))
+    qw = jnp.asarray(rng.normal(size=(n, h, c)).astype(np.float32))
+    ds = jnp.asarray(rng.normal(size=(n, h, n)).astype(np.float32))
+    nv = jnp.int32(n)
+
+    _, vjp_k = jax.vjp(lambda e, q: rpe_pair_scores_diff(e, q, nv, nv),
+                       embed, qw)
+    _, vjp_r = jax.vjp(lambda e, q: jnp.einsum("nmc,nhc->nhm", e, q),
+                       embed, qw)
+    for a, b in zip(vjp_k(ds), vjp_r(ds)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-4)
+
+
+def test_module_path_matches_einsum_path():
+    """RPEConditionalTransformer with use_pallas=True vs False: identical
+    params, masked outputs match to kernel-precision tolerance."""
+    from geotransformer_tpu.models.transformer import RPEConditionalTransformer
+
+    b, n, m, d, h = 1, 128, 96, 64, 4
+    rng = np.random.default_rng(4)
+    f0 = jnp.asarray(rng.normal(size=(b, n, d)).astype(np.float32))
+    f1 = jnp.asarray(rng.normal(size=(b, m, d)).astype(np.float32))
+    e0 = jnp.asarray(rng.normal(size=(b, n, n, d)).astype(np.float32))
+    e1 = jnp.asarray(rng.normal(size=(b, m, m, d)).astype(np.float32))
+    masks0 = jnp.arange(n)[None, :] < 100
+    masks1 = jnp.arange(m)[None, :] < 80
+
+    mod_x = RPEConditionalTransformer(("self", "cross"), d, h)
+    mod_p = RPEConditionalTransformer(("self", "cross"), d, h, use_pallas=True)
+    variables = mod_x.init(jax.random.PRNGKey(0), f0, f1, e0, e1,
+                           masks0=masks0, masks1=masks1)
+    out_x = mod_x.apply(variables, f0, f1, e0, e1, masks0=masks0, masks1=masks1)
+    out_p = mod_p.apply(variables, f0, f1, e0, e1, masks0=masks0, masks1=masks1)
+    for a, b_, mask in zip(out_p, out_x, (masks0, masks1)):
+        a = np.asarray(a) * np.asarray(mask)[..., None]
+        b_ = np.asarray(b_) * np.asarray(mask)[..., None]
+        np.testing.assert_allclose(a, b_, rtol=2e-2, atol=2e-2)
