@@ -135,7 +135,14 @@ def rpe_pair_scores(embed, qw, n_valid_q=None, n_valid_k=None,
     h = qw.shape[1]
     assert qw.shape == (n, h, c), (qw.shape, embed.shape)
     if tile_j is None:
-        tile_j = 128 if m % 128 == 0 else 64
+        # Mosaic requires the OUTPUT block's minor dim to be 128-divisible or
+        # equal to the (padded) array minor dim. tile_j=64 is therefore only
+        # legal when it IS the whole padded minor dim (m <= 64); any larger m
+        # must tile at 128 (m=192 at ModelNet's calibrated superpoint cap
+        # lowered to an invalid (256, 64) block on a (768, 192) output).
+        tile_j = 64 if m <= 64 else 128
+    pad_m_target = -(-m // tile_j) * tile_j
+    assert tile_j % 128 == 0 or tile_j == pad_m_target, (tile_j, m)
     if n % tile_i or m % tile_j:
         pad_n = -(-n // tile_i) * tile_i
         pad_m = -(-m // tile_j) * tile_j

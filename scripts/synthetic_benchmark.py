@@ -80,6 +80,10 @@ def main():
                              "~90 pairs -> ~1%% RR resolution vs 5%% at 6")
     parser.add_argument("--lr", type=float, default=None,
                         help="override the schedule-selected base lr")
+    parser.add_argument("--lr_decay", type=float, default=None,
+                        help="per-epoch lr decay override; a shorter run with "
+                             "a faster decay reaches the same terminal lr "
+                             "(schedule-compressed plateau)")
     parser.add_argument("--skip_eval_script", action="store_true",
                         help="stop after the feature dump (for tests)")
     parser.add_argument("--force_pallas", choices=("auto", "true", "false"),
@@ -171,8 +175,10 @@ def main():
         # the bf16_drift convergence recipe: slightly higher lr for the
         # short synthetic schedule
         3e-4 if args.steps <= 4000 else cfg.optim.lr)
+    lr_decay = args.lr_decay if args.lr_decay is not None else cfg.optim.lr_decay
     cfg = dataclasses.replace(
-        cfg, optim=dataclasses.replace(cfg.optim, max_epoch=max_epoch, lr=lr))
+        cfg, optim=dataclasses.replace(cfg.optim, max_epoch=max_epoch, lr=lr,
+                                       lr_decay=lr_decay))
     if args.model_seed is not None:
         cfg = dataclasses.replace(cfg, seed=args.model_seed)
     model = create_model(cfg)

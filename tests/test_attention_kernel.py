@@ -36,6 +36,23 @@ def test_pair_scores_parity(n, m, c, h):
                                rtol=2e-2, atol=2e-2)
 
 
+@pytest.mark.parametrize("m", [48, 64, 80, 192, 448])
+def test_default_tile_choice_is_mosaic_legal_and_correct(m):
+    """Regression: m=192 (ModelNet's calibrated superpoint cap) used to pick
+    tile_j=64, an invalid (tile_i*h, 64) output block on a (n*h, 192) array —
+    Mosaic requires the minor block dim to be 128-divisible or the whole
+    padded minor dim. The wrapper now asserts legality at trace time, so this
+    runs the default tile selection across the small-m regimes."""
+    n, c, h = 64, 32, 2
+    rng = np.random.default_rng(5)
+    embed = jnp.asarray(rng.normal(size=(n, m, c)).astype(np.float32))
+    qw = jnp.asarray(rng.normal(size=(n, h, c)).astype(np.float32))
+    out = rpe_pair_scores(embed, qw)
+    ref = _ref_scores(embed, qw)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-2, atol=2e-2)
+
+
 def test_pair_scores_valid_rectangle_skip():
     n, c, h = 256, 64, 4
     rng = np.random.default_rng(1)
@@ -43,8 +60,8 @@ def test_pair_scores_valid_rectangle_skip():
     qw = jnp.asarray(rng.normal(size=(n, h, c)).astype(np.float32))
     nv = 100
     out = rpe_pair_scores(embed, qw, n_valid_q=jnp.int32(nv),
-                          n_valid_k=jnp.int32(nv), tile_i=64, tile_j=64)
-    full = rpe_pair_scores(embed, qw, tile_i=64, tile_j=64)
+                          n_valid_k=jnp.int32(nv), tile_i=64, tile_j=128)
+    full = rpe_pair_scores(embed, qw, tile_i=64, tile_j=128)
     # tiles intersecting the valid rectangle match the full computation
     # (the skip is tile-granular: valid region rounds up to 128 = 2 tiles)
     np.testing.assert_array_equal(np.asarray(out[:128, :, :128]),
@@ -60,7 +77,7 @@ def test_pair_scores_nonaligned_pad():
     rng = np.random.default_rng(2)
     embed = jnp.asarray(rng.normal(size=(n, m, c)).astype(np.float32))
     qw = jnp.asarray(rng.normal(size=(n, h, c)).astype(np.float32))
-    out = rpe_pair_scores(embed, qw, tile_i=64, tile_j=64)
+    out = rpe_pair_scores(embed, qw, tile_i=64)
     ref = _ref_scores(embed, qw)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=2e-2, atol=2e-2)
