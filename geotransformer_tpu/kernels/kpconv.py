@@ -87,10 +87,80 @@ def table_align():
 _AUG = 12
 
 
-def _kpconv_kernel(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
-                   num_kernel_points, c_in, sigma, pool_cols=None,
+def _kpconv_kernel(*refs, num_kernel_points, c_in, sigma, pool_cols=None,
                    has_pool=False, has_count=False, has_t1=False,
-                   normalize=True):
+                   normalize=True, has_skip=False):
+    refs = list(refs)
+    rep_ref = refs.pop(0) if has_skip else None
+    g_ref, q_ref, kp_ref, w_ref, out_ref = refs[:5]
+    extras = refs[5:]
+    if has_skip:
+        # Valid-tile skip (calibrated-caps padding bands): rep_ref maps every
+        # query tile to the last tile containing a valid query row; a tile is
+        # pure padding iff rep != self. Skipped tiles write the exact values
+        # the compute path produces on all-sentinel rows (zero features and,
+        # under normalize, the count floor 1), and their input-block DMAs are
+        # elided by the clamped index maps (same mechanism as
+        # kernels/attention.py's valid-rectangle skip).
+        i = pl.program_id(0)
+        tile_valid = rep_ref[i] == i
+
+        @pl.when(jnp.logical_not(tile_valid))
+        def _skip():
+            sk = list(extras)
+            out_ref[...] = jnp.zeros_like(out_ref)
+            if has_pool:
+                p = sk.pop(0)
+                p[...] = jnp.zeros_like(p)
+            if has_count:
+                c = sk.pop(0)
+                fill = 1.0 if normalize else 0.0
+                c[...] = jnp.full(c.shape, fill, c.dtype)
+            if has_t1:
+                t = sk.pop(0)
+                t[...] = jnp.zeros_like(t)
+
+        @pl.when(tile_valid)
+        def _run():
+            _kpconv_kernel_body(
+                g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
+                num_kernel_points=num_kernel_points, c_in=c_in, sigma=sigma,
+                pool_cols=pool_cols, has_pool=has_pool, has_count=has_count,
+                has_t1=has_t1, normalize=normalize)
+
+        return
+    _kpconv_kernel_body(
+        g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
+        num_kernel_points=num_kernel_points, c_in=c_in, sigma=sigma,
+        pool_cols=pool_cols, has_pool=has_pool, has_count=has_count,
+        has_t1=has_t1, normalize=normalize)
+
+
+def tile_rep_from_mask(q_mask, tile_m, num_tiles):
+    """Representative tile index per query tile: ``rep[i] == i`` iff tile i
+    contains at least one valid query row, else the index of the last
+    previous valid tile (leading padding tiles clamp to 0 — they are then
+    treated as valid, which is correct-but-unskipped: all-sentinel rows
+    compute exact zeros anyway). Used both for the kernel's skip predicate
+    and for DMA-eliding clamped input index maps."""
+    m = q_mask.shape[0]
+    pad = num_tiles * tile_m - m
+    if pad:
+        q_mask = jnp.concatenate(
+            [q_mask, jnp.zeros((pad,), q_mask.dtype)])
+    # f32 0/1 instead of bool: packed bool reductions are slow (CLAUDE.md)
+    tv = jnp.max(
+        q_mask.reshape(num_tiles, tile_m).astype(jnp.float32), axis=1)
+    iota = jnp.arange(num_tiles, dtype=jnp.int32)
+    marks = jnp.where(tv > 0.0, iota, -1)
+    rep = jax.lax.cummax(marks)
+    return jnp.maximum(rep, 0).astype(jnp.int32)
+
+
+def _kpconv_kernel_body(g_ref, q_ref, kp_ref, w_ref, out_ref, *extras,
+                        num_kernel_points, c_in, sigma, pool_cols=None,
+                        has_pool=False, has_count=False, has_t1=False,
+                        normalize=True):
     k = num_kernel_points
     extras = list(extras)
     pool_ref = [extras.pop(0)] if has_pool else []
@@ -217,7 +287,7 @@ def kpconv_fused(
     s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
     sigma, bias=None, tile_m=128, interpret=None, return_gathered=False,
     pool_feats=None, pool_cols=None, return_count=False, return_t1=False,
-    normalize=True,
+    normalize=True, q_mask=None,
 ):
     """Fused KPConv forward.
 
@@ -244,6 +314,11 @@ def kpconv_fused(
         return_t1: (c_in == 1 only) also return the influence row-sums
             t1 (M, K) — the ONLY residual the input-layer d_weights needs,
             replacing the whole (M, H, 3) influence recompute.
+        q_mask: optional (M,) bool query validity — tiles with no valid
+            query (the per-pair padding bands inside calibrated capacities)
+            skip compute AND elide their gathered-block DMA; see
+            tile_rep_from_mask. Outputs on skipped rows are identical to
+            the compute path's (zeros; count 1 under normalize).
 
     Returns:
         (M, C_out) float32 features [, (M, C_pool) pooled feats]
@@ -318,50 +393,85 @@ def kpconv_fused(
         _kpconv_kernel, num_kernel_points=k, c_in=c_in, sigma=float(sigma),
         pool_cols=pool_cols, has_pool=pool_feats is not None,
         has_count=return_count, has_t1=return_t1, normalize=normalize,
+        has_skip=q_mask is not None,
     )
     assert not (return_t1 and c_in != 1)
     assert normalize or bias is None, "unnormalized output cannot carry bias"
+    out_map = (lambda i: (i, 0)) if q_mask is None else (
+        lambda i, rep_ref: (i, 0))
     out_specs = [pl.BlockSpec(
-        (tile_m, c_out), lambda i: (i, 0), memory_space=pltpu.VMEM
+        (tile_m, c_out), out_map, memory_space=pltpu.VMEM
     )]
     out_shape = [jax.ShapeDtypeStruct((pad_m, c_out), jnp.float32)]
     if pool_feats is not None:
         out_specs.append(pl.BlockSpec(
-            (tile_m, c_pool), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile_m, c_pool), out_map, memory_space=pltpu.VMEM
         ))
         out_shape.append(jax.ShapeDtypeStruct((pad_m, c_pool), jnp.float32))
     if return_count:
         out_specs.append(pl.BlockSpec(
-            (tile_m, 8), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile_m, 8), out_map, memory_space=pltpu.VMEM
         ))
         out_shape.append(jax.ShapeDtypeStruct((pad_m, 8), jnp.float32))
     if return_t1:
         out_specs.append(pl.BlockSpec(
-            (tile_m, k), lambda i: (i, 0), memory_space=pltpu.VMEM
+            (tile_m, k), out_map, memory_space=pltpu.VMEM
         ))
         out_shape.append(jax.ShapeDtypeStruct((pad_m, k), jnp.float32))
     if len(out_specs) == 1:
         out_specs, out_shape = out_specs[0], out_shape[0]
     else:
         out_specs, out_shape = tuple(out_specs), tuple(out_shape)
-    out = pl.pallas_call(
-        kernel,
-        grid=(num_tiles,),
-        in_specs=[
-            pl.BlockSpec(
-                (tile_m, g.shape[1], g.shape[2]),
-                lambda i: (i, 0, 0),
-                memory_space=pltpu.VMEM,
-            ),
-            pl.BlockSpec((tile_m, _AUG), lambda i: (i, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((k, _AUG), lambda i: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.VMEM),
-        ],
-        out_specs=out_specs,
-        out_shape=out_shape,
-        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=100 * 1024 * 1024),
-        interpret=interpret,
-    )(g, q_aug, kp_aug, weights)
+    if q_mask is None:
+        out = pl.pallas_call(
+            kernel,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec(
+                    (tile_m, g.shape[1], g.shape[2]),
+                    lambda i: (i, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec((tile_m, _AUG), lambda i: (i, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, _AUG), lambda i: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(g, q_aug, kp_aug, weights)
+    else:
+        rep = tile_rep_from_mask(q_mask, tile_m, num_tiles)
+
+        def q_map(i, rep_ref):
+            return rep_ref[i], 0
+
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(num_tiles,),
+            in_specs=[
+                pl.BlockSpec((tile_m, g.shape[1], g.shape[2]),
+                             lambda i, rep_ref: (rep_ref[i], 0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec((tile_m, _AUG), q_map, memory_space=pltpu.VMEM),
+                pl.BlockSpec((k, _AUG), lambda i, rep_ref: (0, 0),
+                             memory_space=pltpu.VMEM),
+                pl.BlockSpec(memory_space=pltpu.VMEM),
+            ],
+            out_specs=out_specs,
+            )
+        out = pl.pallas_call(
+            kernel,
+            grid_spec=grid_spec,
+            out_shape=out_shape,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=100 * 1024 * 1024),
+            interpret=interpret,
+        )(rep, g, q_aug, kp_aug, weights)
     counts = pooled = t1 = None
     rest = list(out) if isinstance(out, (tuple, list)) else [out]
     out = rest.pop(0)[:m]
@@ -415,7 +525,7 @@ def _influence_and_count_from_gathered(g, q_points, kernel_points, sigma, c_in):
 @functools.partial(jax.custom_vjp, nondiff_argnums=(6, 8))
 def kpconv_fused_diff(
     s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
-    sigma, bias, tile_m,
+    sigma, bias, tile_m, q_mask=None,
 ):
     """Differentiable fused KPConv: Pallas forward, explicit XLA backward.
 
@@ -425,15 +535,16 @@ def kpconv_fused_diff(
     """
     return kpconv_fused(
         s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
-        sigma, bias=bias, tile_m=tile_m,
+        sigma, bias=bias, tile_m=tile_m, q_mask=q_mask,
     )
 
 
 def _kpconv_diff_fwd(s_feats, q_points, s_points, neighbor_indices,
-                     kernel_points, weights, sigma, bias, tile_m):
+                     kernel_points, weights, sigma, bias, tile_m,
+                     q_mask=None):
     out, gathered, nb_pad = kpconv_fused(
         s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
-        sigma, bias=bias, tile_m=tile_m, return_gathered=True,
+        sigma, bias=bias, tile_m=tile_m, return_gathered=True, q_mask=q_mask,
     )
     # The gathered block is kept as a residual: the backward then needs no
     # re-gather (the dominant cost of a stage-0 conv).
@@ -459,7 +570,7 @@ def _kpconv_diff_bwd(sigma, tile_m, res, dout):
         .at[nb_pad].add(d_nf)[:n]
     )
     d_bias = jnp.sum(dout, axis=0) if has_bias else None
-    return (d_s_feats, None, None, None, None, d_weights, d_bias)
+    return (d_s_feats, None, None, None, None, d_weights, d_bias, None)
 
 
 kpconv_fused_diff.defvjp(_kpconv_diff_fwd, _kpconv_diff_bwd)
@@ -468,7 +579,7 @@ kpconv_fused_diff.defvjp(_kpconv_diff_fwd, _kpconv_diff_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(7, 9, 10))
 def kpconv_pool_fused_diff(
     s_feats, pool_feats, q_points, s_points, neighbor_indices, kernel_points,
-    weights, sigma, bias, tile_m, pool_cols,
+    weights, sigma, bias, tile_m, pool_cols, q_mask=None,
 ):
     """Differentiable fused KPConv + strided-shortcut maxpool: one gather,
     one Pallas kernel, two outputs. Gradients flow to s_feats, pool_feats,
@@ -476,18 +587,18 @@ def kpconv_pool_fused_diff(
     out, pooled = kpconv_fused(
         s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
         sigma, bias=bias, tile_m=tile_m,
-        pool_feats=pool_feats, pool_cols=pool_cols,
+        pool_feats=pool_feats, pool_cols=pool_cols, q_mask=q_mask,
     )
     return out, pooled
 
 
 def _kpconv_pool_diff_fwd(s_feats, pool_feats, q_points, s_points,
                           neighbor_indices, kernel_points, weights, sigma,
-                          bias, tile_m, pool_cols):
+                          bias, tile_m, pool_cols, q_mask=None):
     out, pooled, gathered, nb_pad = kpconv_fused(
         s_feats, q_points, s_points, neighbor_indices, kernel_points, weights,
         sigma, bias=bias, tile_m=tile_m, return_gathered=True,
-        pool_feats=pool_feats, pool_cols=pool_cols,
+        pool_feats=pool_feats, pool_cols=pool_cols, q_mask=q_mask,
     )
     res = (gathered, q_points, nb_pad, kernel_points, weights,
            s_feats.shape[0], bias is not None, pooled)
@@ -498,7 +609,7 @@ def _kpconv_pool_diff_bwd(sigma, tile_m, pool_cols, res, cotangents):
     dout, dpool = cotangents
     gathered, q_points, nb_pad, kernel_points, weights, n, has_bias, pooled = res
     c_in = weights.shape[1]
-    d_s_feats, _, _, _, _, d_weights, d_bias = _kpconv_diff_bwd(
+    d_s_feats, _, _, _, _, d_weights, d_bias, _ = _kpconv_diff_bwd(
         sigma, tile_m,
         (gathered[:, :, : _AUG + c_in], q_points, nb_pad, kernel_points,
          weights, n, has_bias),
@@ -516,7 +627,8 @@ def _kpconv_pool_diff_bwd(sigma, tile_m, pool_cols, res, cotangents):
         jnp.zeros((n + 1, pool_block.shape[2]), d_pool_rows.dtype)
         .at[nb_pad[:, :cols]].add(d_pool_rows)[:n]
     )
-    return (d_s_feats, d_pool_feats, None, None, None, None, d_weights, d_bias)
+    return (d_s_feats, d_pool_feats, None, None, None, None, d_weights,
+            d_bias, None)
 
 
 kpconv_pool_fused_diff.defvjp(_kpconv_pool_diff_fwd, _kpconv_pool_diff_bwd)
@@ -1177,7 +1289,7 @@ def kpconv_split_fused(
     s_feats, q_points, s_points, head_table, tail_table, tail_q, tail_rank,
     kernel_points, weights, sigma, bias=None, tile_m=128,
     pool_feats=None, pool_cols=None, return_t1=False, return_gathered=False,
-    interpret=None,
+    interpret=None, q_mask=None,
 ):
     """Split-table fused KPConv forward.
 
@@ -1209,7 +1321,7 @@ def kpconv_split_fused(
         return_t1=return_t1, return_gathered=return_gathered,
         pool_feats=pool_feats,
         pool_cols=min(pool_cols, h1) if pool_cols is not None else None,
-        interpret=interpret,
+        interpret=interpret, q_mask=q_mask,
     )
     q_tail = q_points[tail_q]
     pool_cols_tail = None
@@ -1285,7 +1397,7 @@ def kpconv_split_fused(
 @functools.partial(jax.custom_vjp, nondiff_argnums=(10, 12))
 def kpconv_split_diff(s_feats, q_points, s_points, head_table, tail_table,
                       tail_q, tail_rank, inverse_table, kernel_points,
-                      weights, sigma, bias, tile_m):
+                      weights, sigma, bias, tile_m, q_mask=None):
     """Differentiable split-table fused KPConv.
 
     With `inverse_table` the backward is the scatter-free inverse-table
@@ -1295,18 +1407,19 @@ def kpconv_split_diff(s_feats, q_points, s_points, head_table, tail_table,
     out, _ = kpconv_split_fused(
         s_feats, q_points, s_points, head_table, tail_table, tail_q,
         tail_rank, kernel_points, weights, sigma, bias=bias, tile_m=tile_m,
+        q_mask=q_mask,
     )
     return out
 
 
 def _kpconv_split_fwd(s_feats, q_points, s_points, head_table, tail_table,
                       tail_q, tail_rank, inverse_table, kernel_points,
-                      weights, sigma, bias, tile_m):
+                      weights, sigma, bias, tile_m, q_mask=None):
     keep_blocks = inverse_table is None
     res_f = kpconv_split_fused(
         s_feats, q_points, s_points, head_table, tail_table, tail_q,
         tail_rank, kernel_points, weights, sigma, bias=bias, tile_m=tile_m,
-        return_gathered=keep_blocks,
+        return_gathered=keep_blocks, q_mask=q_mask,
     )
     out, counts = res_f[0], res_f[1]
     blocks = res_f[2:] if keep_blocks else None
@@ -1352,7 +1465,7 @@ def _kpconv_split_bwd(sigma, tile_m, res, dout):
             s_feats.shape[0], gdiv)
     d_bias = jnp.sum(dout, axis=0) if has_bias else None
     return (d_s_feats, None, None, None, None, None, None, None, None,
-            d_weights, d_bias)
+            d_weights, d_bias, None)
 
 
 kpconv_split_diff.defvjp(_kpconv_split_fwd, _kpconv_split_bwd)
@@ -1362,12 +1475,12 @@ kpconv_split_diff.defvjp(_kpconv_split_fwd, _kpconv_split_bwd)
 def kpconv_split_pool_diff(s_feats, pool_feats, q_points, s_points,
                            head_table, tail_table, tail_q, tail_rank,
                            inverse_table, kernel_points, weights, sigma,
-                           bias, tile_m, pool_cols):
+                           bias, tile_m, pool_cols, q_mask=None):
     """Differentiable split-table fused KPConv + strided-shortcut maxpool."""
     out, pooled, _ = kpconv_split_fused(
         s_feats, q_points, s_points, head_table, tail_table, tail_q,
         tail_rank, kernel_points, weights, sigma, bias=bias, tile_m=tile_m,
-        pool_feats=pool_feats, pool_cols=pool_cols,
+        pool_feats=pool_feats, pool_cols=pool_cols, q_mask=q_mask,
     )
     return out, pooled
 
@@ -1395,11 +1508,12 @@ def _split_pool_ties(blocks, pooled, tail_q, tail_rank, c_in, pool_cols, h1):
 def _kpconv_split_pool_fwd(s_feats, pool_feats, q_points, s_points,
                            head_table, tail_table, tail_q, tail_rank,
                            inverse_table, kernel_points, weights, sigma,
-                           bias, tile_m, pool_cols):
+                           bias, tile_m, pool_cols, q_mask=None):
     res_f = kpconv_split_fused(
         s_feats, q_points, s_points, head_table, tail_table, tail_q,
         tail_rank, kernel_points, weights, sigma, bias=bias, tile_m=tile_m,
         pool_feats=pool_feats, pool_cols=pool_cols, return_gathered=True,
+        q_mask=q_mask,
     )
     out, pooled, counts = res_f[0], res_f[1], res_f[2]
     blocks = res_f[3:]
@@ -1457,7 +1571,7 @@ def _kpconv_split_pool_bwd(sigma, tile_m, pool_cols, res, cotangents):
         )
     d_bias = jnp.sum(dout, axis=0) if has_bias else None
     return (d_s_feats, d_pool_feats, None, None, None, None, None, None,
-            None, None, d_weights, d_bias)
+            None, None, d_weights, d_bias, None)
 
 
 kpconv_split_pool_diff.defvjp(_kpconv_split_pool_fwd, _kpconv_split_pool_bwd)
@@ -1466,24 +1580,24 @@ kpconv_split_pool_diff.defvjp(_kpconv_split_pool_fwd, _kpconv_split_pool_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(9, 11))
 def kpconv_split_input_diff(s_feats, q_points, s_points, head_table,
                             tail_table, tail_q, tail_rank, kernel_points,
-                            weights, sigma, bias, tile_m):
+                            weights, sigma, bias, tile_m, q_mask=None):
     """Split-table input-layer fused KPConv (c_in == 1; t1-residual
     backward, zero feature gradients — see kpconv_input_fused_diff)."""
     out, _, _ = kpconv_split_fused(
         s_feats, q_points, s_points, head_table, tail_table, tail_q,
         tail_rank, kernel_points, weights, sigma, bias=bias, tile_m=tile_m,
-        return_t1=True,
+        return_t1=True, q_mask=q_mask,
     )
     return out
 
 
 def _kpconv_split_input_fwd(s_feats, q_points, s_points, head_table,
                             tail_table, tail_q, tail_rank, kernel_points,
-                            weights, sigma, bias, tile_m):
+                            weights, sigma, bias, tile_m, q_mask=None):
     out, t1, counts = kpconv_split_fused(
         s_feats, q_points, s_points, head_table, tail_table, tail_q,
         tail_rank, kernel_points, weights, sigma, bias=bias, tile_m=tile_m,
-        return_t1=True,
+        return_t1=True, q_mask=q_mask,
     )
     return out, (t1, counts, s_feats.shape, bias is not None)
 
@@ -1496,7 +1610,7 @@ def _kpconv_split_input_bwd(sigma, tile_m, res, dout):
     )[:, None, :]
     d_bias = jnp.sum(dout, axis=0) if has_bias else None
     return (jnp.zeros(sf_shape, dout.dtype), None, None, None, None, None,
-            None, None, d_weights, d_bias)
+            None, None, d_weights, d_bias, None)
 
 
 kpconv_split_input_diff.defvjp(_kpconv_split_input_fwd, _kpconv_split_input_bwd)

@@ -47,7 +47,8 @@ class KPConv(nn.Module):
     @nn.compact
     def __call__(self, s_feats, q_points, s_points, neighbor_indices,
                  pool_feats=None, pool_cols=None, inverse_table=None,
-                 union_tables=None, split_tables=None, stream=None):
+                 union_tables=None, split_tables=None, stream=None,
+                 q_mask=None):
         """KPConv forward.
 
         Args:
@@ -72,6 +73,11 @@ class KPConv(nn.Module):
                 query plus a compacted tail for deep queries only,
                 cutting gathered rows by the table's shadow fraction
                 (kernels/kpconv.py split section). Exact, same outputs.
+            q_mask: optional (M,) bool query validity — Pallas paths skip
+                query tiles that are entirely padding (the per-pair padding
+                bands inside calibrated capacities) and elide their DMAs;
+                outputs are identical (kernels/kpconv.py
+                tile_rep_from_mask).
             stream: optional (5, M, H) precomputed edge stream
                 (preprocess.pyramid.build_input_stream) — input-layer
                 convs (c_in == 1) then skip the neighbor gather entirely
@@ -136,18 +142,18 @@ class KPConv(nn.Module):
                     return kpconv_split_pool_diff(
                         s_feats, pool_feats, q_points, s_points, head, tail,
                         tail_q, rank, inverse_table, kernel_points, weights,
-                        self.sigma, bias, tile_m, pool_cols,
+                        self.sigma, bias, tile_m, pool_cols, q_mask,
                     )
                 if self.input_layer and self.in_channels == 1:
                     return kpconv_split_input_diff(
                         s_feats, q_points, s_points, head, tail, tail_q,
                         rank, kernel_points, weights, self.sigma, bias,
-                        tile_m,
+                        tile_m, q_mask,
                     )
                 return kpconv_split_diff(
                     s_feats, q_points, s_points, head, tail, tail_q, rank,
                     inverse_table, kernel_points, weights, self.sigma, bias,
-                    tile_m,
+                    tile_m, q_mask,
                 )
             if pool_feats is not None and inverse_table is not None:
                 return kpconv_pool_inv_fused_diff(
@@ -158,7 +164,8 @@ class KPConv(nn.Module):
             if pool_feats is not None:
                 return kpconv_pool_fused_diff(
                     s_feats, pool_feats, q_points, s_points, neighbor_indices,
-                    kernel_points, weights, self.sigma, bias, tile_m, pool_cols,
+                    kernel_points, weights, self.sigma, bias, tile_m,
+                    pool_cols, q_mask,
                 )
             if inverse_table is not None:
                 return kpconv_inv_fused_diff(
@@ -180,7 +187,7 @@ class KPConv(nn.Module):
                 )
             return kpconv_fused_diff(
                 s_feats, q_points, s_points, neighbor_indices,
-                kernel_points, weights, self.sigma, bias, tile_m,
+                kernel_points, weights, self.sigma, bias, tile_m, q_mask,
             )
 
         if pool_feats is not None:
@@ -317,7 +324,7 @@ class ConvBlock(nn.Module):
             name="KPConv",
         )(s_feats, q_points, s_points, neighbor_indices,
           inverse_table=inverse_table, union_tables=union_tables,
-          split_tables=split_tables, stream=stream)
+          split_tables=split_tables, stream=stream, q_mask=q_mask)
         x = GroupNorm(self.group_norm, self.out_channels, name="norm")(x, q_mask)
         return leaky_relu(x)
 
@@ -355,13 +362,15 @@ class ResidualBlock(nn.Module):
                 use_bias=True, use_pallas=True, name="KPConv",
             )(x, q_points, s_points, neighbor_indices,
               pool_feats=s_feats, pool_cols=self.pool_cols,
-              inverse_table=inverse_table, split_tables=split_tables)
+              inverse_table=inverse_table, split_tables=split_tables,
+              q_mask=q_mask)
         else:
             x = KPConv(
                 mid_channels, mid_channels, self.kernel_size, self.radius, self.sigma,
                 use_bias=True, use_pallas=self.use_pallas, name="KPConv",
             )(x, q_points, s_points, neighbor_indices,
-              inverse_table=inverse_table, split_tables=split_tables)
+              inverse_table=inverse_table, split_tables=split_tables,
+              q_mask=q_mask)
             shortcut = (
                 maxpool(s_feats, neighbor_indices, valid_cols=self.pool_cols)
                 if self.strided

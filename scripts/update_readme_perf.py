@@ -119,7 +119,7 @@ def main():
     table = build_table(runs)
     new = re.sub(
         re.escape(START) + r".*?" + re.escape(END),
-        START + "\n" + table + "\n" + END,
+        lambda m: START + "\n" + table + "\n" + END,  # literal (no \-escapes)
         text,
         flags=re.S,
     )

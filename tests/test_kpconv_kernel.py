@@ -530,3 +530,105 @@ class TestStreamInputConv:
                         stream[:3, m, c], points[n] - points[m], rtol=1e-6)
                     assert stream[3, m, c] == (1.0 if feats[n, 0] > 0 else 0.0)
                     assert stream[4, m, c] == feats[n, 0]
+
+
+class TestValidTileSkip:
+    """q_mask tile skip: identical outputs, shadow tiles written as the
+    compute path would (zeros; count floor under normalize)."""
+
+    def _masked_setup(self, rng, m=384, n=300, h=10, cin=16, cout=32):
+        s_points = rng.uniform(0, 1, (n, 3)).astype(np.float32)
+        q_points = rng.uniform(0, 1, (m, 3)).astype(np.float32)
+        s_feats = rng.normal(size=(n, cin)).astype(np.float32)
+        neighbors = rng.integers(0, n + 1, (m, h)).astype(np.int32)
+        # two valid prefixes (pair frame): rows [0, 100) and [192, 290)
+        mask = np.zeros((m,), bool)
+        mask[:100] = True
+        mask[192:290] = True
+        # padding rows carry all-sentinel neighbors (the collate contract)
+        neighbors[~mask] = n
+        return s_points, q_points, s_feats, neighbors, mask
+
+    def test_tile_rep_from_mask(self):
+        from geotransformer_tpu.kernels.kpconv import tile_rep_from_mask
+
+        mask = np.zeros((384,), bool)
+        mask[:100] = True   # tiles 0, 1 (tile_m=64) valid
+        mask[192:290] = True  # tiles 3, 4 valid
+        rep = np.asarray(tile_rep_from_mask(jnp.asarray(mask), 64, 6))
+        np.testing.assert_array_equal(rep, [0, 1, 1, 3, 4, 4])
+        # leading padding clamps to 0 (treated valid -> computed, exact)
+        mask2 = np.zeros((128,), bool)
+        mask2[80:] = True
+        rep2 = np.asarray(tile_rep_from_mask(jnp.asarray(mask2), 64, 2))
+        np.testing.assert_array_equal(rep2, [0, 1])
+
+    def test_masked_matches_unmasked(self, rng):
+        s_points, q_points, s_feats, neighbors, mask = self._masked_setup(rng)
+        conv = KPConv(16, 32, 15, 0.1, 0.08)
+        variables = conv.init(
+            jax.random.PRNGKey(0), jnp.asarray(s_feats), jnp.asarray(q_points),
+            jnp.asarray(s_points), jnp.asarray(neighbors))
+        kp = variables["constants"]["kernel_points"]
+        w = variables["params"]["weights"]
+        base = np.asarray(kpconv_fused(
+            jnp.asarray(s_feats), jnp.asarray(q_points), jnp.asarray(s_points),
+            jnp.asarray(neighbors), kp, w, sigma=0.08, tile_m=64))
+        got = np.asarray(kpconv_fused(
+            jnp.asarray(s_feats), jnp.asarray(q_points), jnp.asarray(s_points),
+            jnp.asarray(neighbors), kp, w, sigma=0.08, tile_m=64,
+            q_mask=jnp.asarray(mask)))
+        np.testing.assert_array_equal(got, base)
+
+    def test_masked_counts_and_pool(self, rng):
+        from geotransformer_tpu.kernels.kpconv import kpconv_split_fused
+        from geotransformer_tpu.preprocess.pyramid import build_split_tables
+
+        s_points, q_points, s_feats, neighbors, mask = self._masked_setup(rng)
+        pool_feats = rng.normal(size=(s_feats.shape[0], 8)).astype(np.float32)
+        conv = KPConv(16, 32, 15, 0.1, 0.08)
+        variables = conv.init(
+            jax.random.PRNGKey(0), jnp.asarray(s_feats), jnp.asarray(q_points),
+            jnp.asarray(s_points), jnp.asarray(neighbors))
+        kp = variables["constants"]["kernel_points"]
+        w = variables["params"]["weights"]
+        tail, tail_q, rank = build_split_tables(
+            neighbors, s_points.shape[0], h1=8, m2_cap=256)
+        head = neighbors[:, :8]
+        base = kpconv_split_fused(
+            jnp.asarray(s_feats), jnp.asarray(q_points), jnp.asarray(s_points),
+            jnp.asarray(head), jnp.asarray(tail), jnp.asarray(tail_q),
+            jnp.asarray(rank), kp, w, 0.08, tile_m=64,
+            pool_feats=jnp.asarray(pool_feats), pool_cols=10)
+        got = kpconv_split_fused(
+            jnp.asarray(s_feats), jnp.asarray(q_points), jnp.asarray(s_points),
+            jnp.asarray(head), jnp.asarray(tail), jnp.asarray(tail_q),
+            jnp.asarray(rank), kp, w, 0.08, tile_m=64,
+            pool_feats=jnp.asarray(pool_feats), pool_cols=10,
+            q_mask=jnp.asarray(mask))
+        for b, g in zip(base, got):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(b))
+
+    def test_masked_grads_match(self, rng):
+        from geotransformer_tpu.kernels.kpconv import kpconv_fused_diff
+
+        s_points, q_points, s_feats, neighbors, mask = self._masked_setup(rng)
+        conv = KPConv(16, 32, 15, 0.1, 0.08)
+        variables = conv.init(
+            jax.random.PRNGKey(0), jnp.asarray(s_feats), jnp.asarray(q_points),
+            jnp.asarray(s_points), jnp.asarray(neighbors))
+        kp = variables["constants"]["kernel_points"]
+        w = variables["params"]["weights"]
+
+        def loss(sf, wt, qm):
+            out = kpconv_fused_diff(
+                sf, jnp.asarray(q_points), jnp.asarray(s_points),
+                jnp.asarray(neighbors), kp, wt, 0.08, None, 64, qm)
+            return jnp.sum(out * out)
+
+        g_base = jax.grad(loss, argnums=(0, 1))(
+            jnp.asarray(s_feats), w, None)
+        g_mask = jax.grad(loss, argnums=(0, 1))(
+            jnp.asarray(s_feats), w, jnp.asarray(mask))
+        for b, g in zip(g_base, g_mask):
+            np.testing.assert_array_equal(np.asarray(g), np.asarray(b))
