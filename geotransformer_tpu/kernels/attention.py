@@ -209,3 +209,205 @@ def _pair_scores_bwd(res, ds):
 
 
 rpe_pair_scores_diff.defvjp(_pair_scores_fwd, _pair_scores_bwd)
+
+
+# ---------------------------------------------------------------------------
+# Fused masked attention with valid-rectangle row skip.
+#
+# At dataset-calibrated superpoint capacity the (N, M) attention rectangle
+# is mostly padding on the demo pair (valid fraction ~64% rows x ~64% cols
+# for ref, ~47% x ~47% for src at N = M = 640 vs 411/299 real nodes); the
+# XLA lowering (QK^T einsum -> +bias -> masked softmax -> AV einsum) still
+# materializes and re-reads the full (B, H, N, M) score tensor (~6.5 MB f32
+# per layer application) and computes every row. This kernel fuses the
+# whole chain per 128-query tile — scores never touch HBM — and skips
+# query tiles entirely beyond the valid prefix (DMA-elided via clamped
+# index maps, the kernels/attention.py rpe_pair_scores mechanism).
+#
+# Exactness notes:
+#   * Padded KEYS are masked to -inf before the softmax (same as
+#     _masked_softmax); padded QUERY rows inside a mixed tile compute the
+#     same garbage the XLA path computes (they are zeroed at the
+#     GeometricTransformer output; every norm in the stack is row-local),
+#     and fully-padded tiles write zeros.
+#   * The qb = q . b_p term of the RPE bias is constant across keys, so
+#     softmax shift-invariance makes it a mathematical no-op — the fused
+#     path drops it (the score matrices it would shift are returned to
+#     callers that all discard them).
+#   * Matmul dtype class matches XLA: bf16 operands, f32 accumulation
+#     (Mosaic f32 dots are a single bf16 pass; XLA default-precision f32
+#     einsums behave the same — see README "Performance").
+# ---------------------------------------------------------------------------
+
+
+def _fused_attention_kernel(nv_ref, q_ref, k_ref, v_ref, *rest, num_heads,
+                            tile_i, scale, has_bias):
+    bias_ref = rest[0] if has_bias else None
+    out_ref = rest[-1]
+    h = num_heads
+    nv_k = nv_ref[1]
+    i = pl.program_id(0)
+    last_i = (jnp.maximum(nv_ref[0], 1) - 1) // tile_i
+    tile_valid = i <= last_i
+
+    @pl.when(jnp.logical_not(tile_valid))
+    def _zero():
+        out_ref[...] = jnp.zeros_like(out_ref)
+
+    @pl.when(tile_valid)
+    def _compute():
+        m = k_ref.shape[1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (tile_i, m), 1)
+        key_ok = col < nv_k
+        outs = []
+        for hh in range(h):
+            q = q_ref[hh]  # (T, dh)
+            k = k_ref[hh]  # (M, dh)
+            v = v_ref[hh]  # (M, dh)
+            s = jax.lax.dot_general(
+                q.astype(MXU_DTYPE), k.astype(MXU_DTYPE),
+                (((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (T, M)
+            if bias_ref is not None:
+                s = s + bias_ref[:, hh, :]
+            s = s * scale
+            s = jnp.where(key_ok, s, -jnp.inf)
+            mx = jnp.max(s, axis=1, keepdims=True)
+            # guard fully-masked rows (nv_k == 0 cannot happen for valid
+            # clouds, but keep exp() finite regardless)
+            p = jnp.exp(s - jnp.maximum(mx, -3.0e38))
+            p = jnp.where(key_ok, p, 0.0)
+            l = jnp.sum(p, axis=1, keepdims=True)
+            o = jax.lax.dot_general(
+                p.astype(MXU_DTYPE), v.astype(MXU_DTYPE),
+                (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (T, dh)
+            outs.append(o / jnp.maximum(l, 1e-30))
+        out_ref[...] = jnp.concatenate(outs, axis=1)
+
+
+def fused_masked_attention(q, k, v, bias=None, n_valid_q=None, n_valid_k=None,
+                           scale=1.0, tile_i=128, interpret=None):
+    """Fused (QK^T [+ bias]) * scale -> key-masked softmax -> AV.
+
+    Args:
+        q: (H, N, dh) f32 queries (head-major).
+        k, v: (H, M, dh) f32 keys / values.
+        bias: optional (N, H, M) f32 additive pre-scale score bias
+            (rpe_pair_scores output layout).
+        n_valid_q / n_valid_k: traced int32 scalars — valid-prefix counts;
+            query tiles at or beyond ``n_valid_q`` write zeros with their
+            DMAs elided, keys at or beyond ``n_valid_k`` are softmax-masked.
+            Defaults: all rows / keys valid.
+
+    Returns:
+        (N, H * dh) f32 — heads merged in layer order (_merge_heads).
+    """
+    h, n, dh = q.shape
+    m = k.shape[1]
+    assert k.shape == (h, m, dh) and v.shape == (h, m, dh)
+    if bias is not None:
+        assert bias.shape == (n, h, m), (bias.shape, (n, h, m))
+    pad_n = -(-n // tile_i) * tile_i
+    if pad_n != n:
+        q = jnp.pad(q, ((0, 0), (0, pad_n - n), (0, 0)))
+        if bias is not None:
+            bias = jnp.pad(bias, ((0, pad_n - n), (0, 0), (0, 0)))
+
+    nv_q = n if n_valid_q is None else n_valid_q
+    nv_k = m if n_valid_k is None else n_valid_k
+    nv = jnp.stack([jnp.asarray(nv_q, jnp.int32),
+                    jnp.asarray(nv_k, jnp.int32)])
+
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+
+    def clamp_i(i, nv_ref):
+        return jnp.minimum(i, (jnp.maximum(nv_ref[0], 1) - 1) // tile_i)
+
+    in_specs = [
+        pl.BlockSpec((h, tile_i, dh), lambda i, nv_ref: (0, clamp_i(i, nv_ref), 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, m, dh), lambda i, nv_ref: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((h, m, dh), lambda i, nv_ref: (0, 0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if bias is not None:
+        in_specs.append(pl.BlockSpec(
+            (tile_i, h, m), lambda i, nv_ref: (clamp_i(i, nv_ref), 0, 0),
+            memory_space=pltpu.VMEM))
+        args.append(bias)
+
+    kernel = functools.partial(
+        _fused_attention_kernel, num_heads=h, tile_i=tile_i,
+        scale=float(scale), has_bias=bias is not None)
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(pad_n // tile_i,),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((tile_i, h * dh), lambda i, nv_ref: (i, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((pad_n, h * dh), jnp.float32),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024),
+        interpret=interpret,
+    )(nv, *args)
+    return out[:n]
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(6,))
+def fused_masked_attention_diff(q, k, v, bias, n_valid_q, n_valid_k, scale):
+    """Differentiable fused attention: Pallas forward, XLA-recompute
+    backward (the autodiff of the reference einsum/softmax composition —
+    exact for the same reasons the forward is, see module comment)."""
+    return fused_masked_attention(
+        q, k, v, bias=bias, n_valid_q=n_valid_q, n_valid_k=n_valid_k,
+        scale=scale)
+
+
+def _xla_attention_ref(q, k, v, bias, n_valid_k, scale):
+    m = k.shape[1]
+    s = jnp.einsum("hnc,hmc->hnm", q, k)
+    if bias is not None:
+        s = s + bias.transpose(1, 0, 2)
+    s = s * scale
+    key_ok = jnp.arange(m)[None, None, :] < n_valid_k
+    s = jnp.where(key_ok, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("hnm,hmc->hnc", p, v)
+    h, n, dh = q.shape
+    return o.transpose(1, 0, 2).reshape(n, h * dh)
+
+
+def _fused_attention_fwd(q, k, v, bias, n_valid_q, n_valid_k, scale):
+    out = fused_masked_attention(
+        q, k, v, bias=bias, n_valid_q=n_valid_q, n_valid_k=n_valid_k,
+        scale=scale)
+    return out, (q, k, v, bias, n_valid_k)
+
+
+def _fused_attention_bwd(scale, res, dout):
+    q, k, v, bias, n_valid_k = res
+    diff_args = (q, k, v) if bias is None else (q, k, v, bias)
+
+    def f(*a):
+        if bias is None:
+            return _xla_attention_ref(a[0], a[1], a[2], None, n_valid_k, scale)
+        return _xla_attention_ref(a[0], a[1], a[2], a[3], n_valid_k, scale)
+
+    _, vjp = jax.vjp(f, *diff_args)
+    grads = vjp(dout)
+    d_q, d_k, d_v = grads[0], grads[1], grads[2]
+    d_bias = grads[3] if bias is not None else None
+    return (d_q, d_k, d_v, d_bias, None, None)
+
+
+fused_masked_attention_diff.defvjp(_fused_attention_fwd, _fused_attention_bwd)

@@ -174,17 +174,42 @@ def _masked_softmax(scores, key_masks):
 
 
 class MultiHeadAttention(nn.Module):
-    """Vanilla scaled dot-product attention (keys maskable)."""
+    """Vanilla scaled dot-product attention (keys maskable).
+
+    With ``use_pallas`` (B == 1) the whole QK^T -> masked softmax -> AV
+    chain runs in the fused valid-rectangle kernel
+    (kernels/attention.fused_masked_attention): scores never touch HBM and
+    query tiles beyond the valid prefix are skipped. The score matrix is
+    then not materialized — the fused path returns ``scores=None`` (every
+    caller in the stack discards it). ``input_masks`` feeds only the row
+    skip; key masking semantics are unchanged."""
 
     d_model: int
     num_heads: int
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, input_q, input_k, input_v, key_masks=None):
+    def __call__(self, input_q, input_k, input_v, key_masks=None,
+                 input_masks=None):
         d_head = self.d_model // self.num_heads
         q = _split_heads(nn.Dense(self.d_model, name="proj_q")(input_q), self.num_heads)
         k = _split_heads(nn.Dense(self.d_model, name="proj_k")(input_k), self.num_heads)
         v = _split_heads(nn.Dense(self.d_model, name="proj_v")(input_v), self.num_heads)
+
+        if self.use_pallas and q.shape[0] == 1:
+            from geotransformer_tpu.kernels.attention import (
+                fused_masked_attention_diff,
+            )
+
+            nv_q = prefix_valid_count(input_masks, input_q.shape[1])
+            nv_k = prefix_valid_count(key_masks, input_k.shape[1])
+            hidden = fused_masked_attention_diff(
+                q[0], k[0], v[0], None,
+                None if nv_q is None else nv_q[0],
+                None if nv_k is None else nv_k[0],
+                float(d_head) ** -0.5,
+            )
+            return hidden[None], None
 
         scores = jnp.einsum("bhnc,bhmc->bhnm", q, k) / jnp.sqrt(jnp.asarray(d_head, q.dtype))
         scores = _masked_softmax(scores, key_masks)
@@ -210,6 +235,9 @@ class _PairBiasProjection(nn.Module):
     d_model: int
     num_heads: int
     use_pallas: bool = False
+    skip_qb: bool = False  # drop the softmax-shift-invariant q . b_p term
+    #                        and return the raw (N, H, M) kernel layout
+    #                        (the fused-attention feed; B == 1, pallas only)
 
     @nn.compact
     def __call__(self, q, embed_qk, n_valid=None):
@@ -220,7 +248,6 @@ class _PairBiasProjection(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.d_model,))
         # (B, H, N, dh) x (D, H, dh) -> (B, H, N, D)
         w = kernel.reshape(self.d_model, self.num_heads, d_head)
-        qb = jnp.einsum("bhnc,hc->bhn", q, bias.reshape(self.num_heads, d_head))
         if self.use_pallas and q.shape[0] == 1:
             # Pallas pair-score kernel: reads the (N, M, C) embedding once
             # with the valid-rectangle tile skip (kernels/attention.py).
@@ -229,10 +256,14 @@ class _PairBiasProjection(nn.Module):
             qw_nh = jnp.einsum("bhnc,dhc->bnhd", q, w)[0]  # (N, H, D)
             nv = None if n_valid is None else n_valid[0]
             scores_p = rpe_pair_scores_diff(embed_qk[0], qw_nh, nv, nv)
+            if self.skip_qb:
+                return scores_p  # (N, H, M)
             scores_p = scores_p.transpose(1, 0, 2)[None]  # (1, H, N, M)
         else:
+            assert not self.skip_qb
             qw = jnp.einsum("bhnc,dhc->bhnd", q, w)
             scores_p = jnp.einsum("bnmd,bhnd->bhnm", embed_qk, qw)
+        qb = jnp.einsum("bhnc,hc->bhn", q, bias.reshape(self.num_heads, d_head))
         return scores_p + qb[..., None]
 
 
@@ -250,8 +281,30 @@ class RPEMultiHeadAttention(nn.Module):
         k = _split_heads(nn.Dense(self.d_model, name="proj_k")(input_k), self.num_heads)
         v = _split_heads(nn.Dense(self.d_model, name="proj_v")(input_v), self.num_heads)
 
-        scores_e = jnp.einsum("bhnc,bhmc->bhnm", q, k)
         n_valid = prefix_valid_count(key_masks, input_q.shape[1])
+        if self.use_pallas and q.shape[0] == 1:
+            # Fully fused: pair-bias scores from the valid-rectangle kernel
+            # feed the fused attention kernel directly; the qb = q . b_p
+            # shift is dropped (softmax shift-invariance — exact, see
+            # kernels/attention.py) and the (B, H, N, M) score tensor is
+            # never materialized. RPE attention is self-attention, so the
+            # query and key valid prefixes coincide.
+            from geotransformer_tpu.kernels.attention import (
+                fused_masked_attention_diff,
+            )
+
+            scores_p = _PairBiasProjection(
+                self.d_model, self.num_heads, use_pallas=True,
+                skip_qb=True, name="proj_p",
+            )(q, embed_qk, n_valid=n_valid)  # (1, H, N, M)
+            nv = None if n_valid is None else n_valid[0]
+            hidden = fused_masked_attention_diff(
+                q[0], k[0], v[0], scores_p, nv, nv,
+                float(d_head) ** -0.5,
+            )
+            return hidden[None], None
+
+        scores_e = jnp.einsum("bhnc,bhmc->bhnm", q, k)
         scores_p = _PairBiasProjection(
             self.d_model, self.num_heads, use_pallas=self.use_pallas,
             name="proj_p",
@@ -281,12 +334,16 @@ class AttentionOutput(nn.Module):
 class AttentionLayer(nn.Module):
     d_model: int
     num_heads: int
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, input_states, memory_states, memory_masks=None):
+    def __call__(self, input_states, memory_states, memory_masks=None,
+                 input_masks=None):
         hidden, scores = MultiHeadAttention(
-            self.d_model, self.num_heads, name="attention"
-        )(input_states, memory_states, memory_states, key_masks=memory_masks)
+            self.d_model, self.num_heads, use_pallas=self.use_pallas,
+            name="attention"
+        )(input_states, memory_states, memory_states, key_masks=memory_masks,
+          input_masks=input_masks)
         hidden = nn.Dense(self.d_model, name="linear")(hidden)
         out = LayerNorm(self.d_model, name="norm")(hidden + input_states)
         return out, scores
@@ -312,11 +369,16 @@ class TransformerLayer(nn.Module):
     d_model: int
     num_heads: int
     activation_fn: str = "ReLU"
+    use_pallas: bool = False
 
     @nn.compact
-    def __call__(self, input_states, memory_states, memory_masks=None):
-        hidden, scores = AttentionLayer(self.d_model, self.num_heads, name="attention")(
-            input_states, memory_states, memory_masks=memory_masks
+    def __call__(self, input_states, memory_states, memory_masks=None,
+                 input_masks=None):
+        hidden, scores = AttentionLayer(
+            self.d_model, self.num_heads, use_pallas=self.use_pallas,
+            name="attention")(
+            input_states, memory_states, memory_masks=memory_masks,
+            input_masks=input_masks
         )
         out = AttentionOutput(self.d_model, self.activation_fn, name="output")(hidden)
         return out, scores
@@ -414,15 +476,20 @@ class RPEConditionalTransformer(nn.Module):
                 feats1, _ = layer(feats1, feats1, embeddings1, memory_masks=masks1)
             elif block == "cross":
                 layer = TransformerLayer(
-                    self.d_model, self.num_heads, self.activation_fn, name=f"layers_{i}"
+                    self.d_model, self.num_heads, self.activation_fn,
+                    use_pallas=self.use_pallas, name=f"layers_{i}"
                 )
                 if self.parallel:
-                    new0, _ = layer(feats0, feats1, memory_masks=masks1)
-                    new1, _ = layer(feats1, feats0, memory_masks=masks0)
+                    new0, _ = layer(feats0, feats1, memory_masks=masks1,
+                                    input_masks=masks0)
+                    new1, _ = layer(feats1, feats0, memory_masks=masks0,
+                                    input_masks=masks1)
                     feats0, feats1 = new0, new1
                 else:
-                    feats0, _ = layer(feats0, feats1, memory_masks=masks1)
-                    feats1, _ = layer(feats1, feats0, memory_masks=masks0)
+                    feats0, _ = layer(feats0, feats1, memory_masks=masks1,
+                                      input_masks=masks0)
+                    feats1, _ = layer(feats1, feats0, memory_masks=masks0,
+                                      input_masks=masks1)
             else:
                 raise ValueError(f"Unsupported block type: {block}")
         return feats0, feats1

@@ -127,3 +127,92 @@ def test_module_path_matches_einsum_path():
         a = np.asarray(a) * np.asarray(mask)[..., None]
         b_ = np.asarray(b_) * np.asarray(mask)[..., None]
         np.testing.assert_allclose(a, b_, rtol=2e-2, atol=2e-2)
+
+
+class TestFusedMaskedAttention:
+    def _xla(self, q, k, v, bias, nv_k, scale):
+        m = k.shape[1]
+        s = jnp.einsum("hnc,hmc->hnm", q, k)
+        if bias is not None:
+            s = s + jnp.transpose(bias, (1, 0, 2))
+        s = s * scale
+        ok = jnp.arange(m)[None, None, :] < nv_k
+        s = jnp.where(ok, s, jnp.finfo(jnp.float32).min)
+        p = jax.nn.softmax(s, axis=-1)
+        o = jnp.einsum("hnm,hmc->hnc", p, v)
+        h, n, dh = q.shape
+        return jnp.transpose(o, (1, 0, 2)).reshape(n, h * dh)
+
+    def test_parity_no_bias(self):
+        from geotransformer_tpu.kernels.attention import fused_masked_attention
+
+        rng = np.random.default_rng(0)
+        h, n, m, dh = 4, 256, 256, 64
+        q = jnp.asarray(rng.normal(size=(h, n, dh)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(h, m, dh)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(h, m, dh)).astype(np.float32))
+        nv_k = 200
+        got = fused_masked_attention(
+            q, k, v, n_valid_q=jnp.int32(180), n_valid_k=jnp.int32(nv_k),
+            scale=0.125, tile_i=64)
+        want = self._xla(q, k, v, None, nv_k, 0.125)
+        # valid rows match; rows in fully-skipped tiles are zero
+        np.testing.assert_allclose(np.asarray(got)[:180],
+                                   np.asarray(want)[:180],
+                                   rtol=2e-2, atol=2e-2)
+        np.testing.assert_array_equal(np.asarray(got)[192:], 0.0)
+
+    def test_parity_with_bias_and_grads(self):
+        from geotransformer_tpu.kernels.attention import (
+            fused_masked_attention_diff,
+        )
+
+        rng = np.random.default_rng(1)
+        h, n, dh = 2, 128, 32
+        m = n
+        q = jnp.asarray(rng.normal(size=(h, n, dh)).astype(np.float32))
+        k = jnp.asarray(rng.normal(size=(h, m, dh)).astype(np.float32))
+        v = jnp.asarray(rng.normal(size=(h, m, dh)).astype(np.float32))
+        bias = jnp.asarray(rng.normal(size=(n, h, m)).astype(np.float32))
+        nv = jnp.int32(100)
+
+        def f_fused(q, k, v, b):
+            out = fused_masked_attention_diff(q, k, v, b, nv, nv, 0.2)
+            return jnp.sum(out[:100] ** 2), out
+
+        def f_xla(q, k, v, b):
+            out = self._xla(q, k, v, b, nv, 0.2)
+            return jnp.sum(out[:100] ** 2), out
+
+        (l1, o1), g1 = jax.value_and_grad(f_fused, argnums=(0, 1, 2, 3),
+                                          has_aux=True)(q, k, v, bias)
+        (l2, o2), g2 = jax.value_and_grad(f_xla, argnums=(0, 1, 2, 3),
+                                          has_aux=True)(q, k, v, bias)
+        np.testing.assert_allclose(np.asarray(o1)[:100], np.asarray(o2)[:100],
+                                   rtol=2e-2, atol=2e-2)
+        for a, b in zip(g1, g2):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-2, atol=2e-2)
+
+    def test_rpe_module_fused_matches_xla(self):
+        """RPEMultiHeadAttention use_pallas (fused kernel, qb dropped) vs
+        the XLA module on a prefix-masked input — same params."""
+        from geotransformer_tpu.models.transformer import RPEMultiHeadAttention
+
+        rng = np.random.default_rng(2)
+        n, c, h = 128, 64, 4
+        feats = jnp.asarray(rng.normal(size=(1, n, c)).astype(np.float32))
+        embed = jnp.asarray(rng.normal(size=(1, n, n, c)).astype(np.float32))
+        masks = jnp.asarray(np.arange(n) < 90)[None]
+        mod_x = RPEMultiHeadAttention(c, h, use_pallas=False)
+        mod_p = RPEMultiHeadAttention(c, h, use_pallas=True)
+        variables = mod_x.init(jax.random.PRNGKey(0), feats, feats, feats,
+                               embed, key_masks=masks)
+        want, _ = mod_x.apply(variables, feats, feats, feats, embed,
+                              key_masks=masks)
+        got, scores = mod_p.apply(variables, feats, feats, feats, embed,
+                                  key_masks=masks)
+        assert scores is None
+        np.testing.assert_allclose(np.asarray(got)[0, :90],
+                                   np.asarray(want)[0, :90],
+                                   rtol=3e-2, atol=3e-2)
