@@ -192,6 +192,16 @@ def _modelnet_like_root(seed=0, num_models=6):
 
 
 def main():
+    import argparse
+
+    parser = argparse.ArgumentParser()
+    parser.add_argument(
+        "--quick", action="store_true",
+        help="measure only the headline + calibrated-caps forwards (for the "
+             "2-3-run reproducibility band; the newest committed capture "
+             "must still be a full run — see tests/test_readme_sync.py)")
+    args = parser.parse_args()
+
     from geotransformer_tpu.configs import (
         make_3dmatch_config, make_kitti_config, make_modelnet_config,
     )
@@ -250,6 +260,37 @@ def main():
     pairs_per_sec = 1000.0 / ms
 
     extras = {}
+
+    def measure_calibrated():
+        """Forward at dataset-calibrated (config default) capacities."""
+        cfg_cal = make_3dmatch_config()
+        cal_caps = tuple(cfg_cal.caps.stage_caps)
+        model_cal = create_model(cfg_cal)
+        cal_pad = pad_registration_batch(
+            pyramid, feats, np.eye(4, dtype=np.float32), cal_caps)
+        cal_nb, cal_sub = fit_splits(cal_pad)
+        batch_cal = jax.tree.map(jnp.asarray, pad_registration_batch(
+            pyramid, feats, np.eye(4, dtype=np.float32), cal_caps,
+            neighbor_splits=cal_nb, subsampling_splits=cal_sub))
+        variables_cal = jax.jit(
+            lambda r, b: model_cal.init(r, b, training=False, with_gt=False)
+        )(jax.random.PRNGKey(cfg.seed), batch_cal)
+        return _forward_ms(model_cal, variables_cal, batch_cal)
+
+    if args.quick:
+        try:
+            extras["calibrated_caps_pairs_per_sec"] = round(
+                1000.0 / measure_calibrated(), 2)
+        except Exception as exc:
+            extras["calibrated_caps_error"] = f"{type(exc).__name__}: {exc}"[:200]
+        print(json.dumps({
+            "metric": "3dmatch_demo_pair_model_throughput",
+            "value": round(pairs_per_sec, 2),
+            "unit": "pairs/s",
+            "vs_baseline": round(pairs_per_sec / BASELINE_PAIRS_PER_SEC, 2),
+            **extras,
+        }))
+        return
 
     # -- production train step: inverse tables + host-precomputed targets --
     tx = make_optimizer(cfg, steps_per_epoch=10, world_size=1)
@@ -331,20 +372,8 @@ def main():
 
     # -- forward at dataset-calibrated (config default) capacities --
     try:
-        cfg_cal = make_3dmatch_config()
-        cal_caps = tuple(cfg_cal.caps.stage_caps)
-        model_cal = create_model(cfg_cal)
-        cal_pad = pad_registration_batch(
-            pyramid, feats, np.eye(4, dtype=np.float32), cal_caps)
-        cal_nb, cal_sub = fit_splits(cal_pad)
-        batch_cal = jax.tree.map(jnp.asarray, pad_registration_batch(
-            pyramid, feats, np.eye(4, dtype=np.float32), cal_caps,
-            neighbor_splits=cal_nb, subsampling_splits=cal_sub))
-        variables_cal = jax.jit(
-            lambda r, b: model_cal.init(r, b, training=False, with_gt=False)
-        )(jax.random.PRNGKey(cfg.seed), batch_cal)
-        cal_ms = _forward_ms(model_cal, variables_cal, batch_cal)
-        extras["calibrated_caps_pairs_per_sec"] = round(1000.0 / cal_ms, 2)
+        extras["calibrated_caps_pairs_per_sec"] = round(
+            1000.0 / measure_calibrated(), 2)
     except Exception as exc:
         extras["calibrated_caps_error"] = f"{type(exc).__name__}: {exc}"[:200]
 
