@@ -99,6 +99,7 @@ class KPConv(nn.Module):
         )
 
         if self.use_pallas:
+            from geotransformer_tpu.kernels.flags import kernel_enabled
             from geotransformer_tpu.kernels.kpconv import (
                 kpconv_fused_diff,
                 kpconv_input_fused_diff,
@@ -113,6 +114,10 @@ class KPConv(nn.Module):
                 if self.use_bias
                 else None
             )
+            if not kernel_enabled("kpconv_tile_skip"):
+                # q_mask only drives the valid-tile DMA-elision skip inside
+                # the kernels; None restores the compute-every-tile paths
+                q_mask = None
             if self.in_channels <= 64:
                 tile_m = 128
             elif self.in_channels <= 256:

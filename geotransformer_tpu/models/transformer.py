@@ -122,9 +122,13 @@ class GeometricStructureEmbedding(nn.Module):
             # the quadratic MXU work. Guarded: a non-prefix mask (never
             # produced by pad_registration_batch, but allowed by this module
             # API) falls back to computing every tile.
+            from geotransformer_tpu.kernels.flags import kernel_enabled
+
             num_point = points.shape[1]
             n_valid = prefix_valid_count(masks, num_point)
-            if n_valid is None:
+            if n_valid is None or not kernel_enabled("gse_skip"):
+                # full-valid n disables the clamped index maps (identity
+                # mapping — the pre-skip kernel behavior)
                 n_valid = jnp.full((points.shape[0],), num_point, jnp.int32)
             return jax.vmap(
                 lambda p, u, nv: gse_embedding_full_diff(
@@ -196,7 +200,9 @@ class MultiHeadAttention(nn.Module):
         k = _split_heads(nn.Dense(self.d_model, name="proj_k")(input_k), self.num_heads)
         v = _split_heads(nn.Dense(self.d_model, name="proj_v")(input_v), self.num_heads)
 
-        if self.use_pallas and q.shape[0] == 1:
+        from geotransformer_tpu.kernels.flags import kernel_enabled
+
+        if self.use_pallas and q.shape[0] == 1 and kernel_enabled("fused_attention"):
             from geotransformer_tpu.kernels.attention import (
                 fused_masked_attention_diff,
             )
@@ -248,7 +254,9 @@ class _PairBiasProjection(nn.Module):
         bias = self.param("bias", nn.initializers.zeros, (self.d_model,))
         # (B, H, N, dh) x (D, H, dh) -> (B, H, N, D)
         w = kernel.reshape(self.d_model, self.num_heads, d_head)
-        if self.use_pallas and q.shape[0] == 1:
+        from geotransformer_tpu.kernels.flags import kernel_enabled
+
+        if self.use_pallas and q.shape[0] == 1 and kernel_enabled("pair_scores"):
             # Pallas pair-score kernel: reads the (N, M, C) embedding once
             # with the valid-rectangle tile skip (kernels/attention.py).
             from geotransformer_tpu.kernels.attention import rpe_pair_scores_diff
@@ -281,8 +289,12 @@ class RPEMultiHeadAttention(nn.Module):
         k = _split_heads(nn.Dense(self.d_model, name="proj_k")(input_k), self.num_heads)
         v = _split_heads(nn.Dense(self.d_model, name="proj_v")(input_v), self.num_heads)
 
+        from geotransformer_tpu.kernels.flags import kernel_enabled
+
         n_valid = prefix_valid_count(key_masks, input_q.shape[1])
-        if self.use_pallas and q.shape[0] == 1:
+        if (self.use_pallas and q.shape[0] == 1
+                and kernel_enabled("fused_attention")
+                and kernel_enabled("pair_scores")):
             # Fully fused: pair-bias scores from the valid-rectangle kernel
             # feed the fused attention kernel directly; the qb = q . b_p
             # shift is dropped (softmax shift-invariance — exact, see

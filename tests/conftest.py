@@ -15,6 +15,11 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
 )
+# Tests run the Pallas kernels in interpret mode, where every mechanism is
+# exercised regardless of hardware provenness — enable them all so module
+# wiring and parity coverage are independent of the production fail-safe
+# defaults in kernels/flags.py.
+os.environ.setdefault("GT_TPU_ENABLE_KERNELS", "all")
 
 # The image's sitecustomize imports jax and pins the TPU ('axon') platform
 # before conftest runs, so env vars alone are too late — override via config.

@@ -38,6 +38,10 @@ def test_readme_perf_table_matches_newest_capture():
                 if line.startswith("{"):
                     runs.append(json.loads(line))
                     break
+    if not runs:
+        # e.g. only an in-progress capture (bench.py writes its one JSON
+        # line at exit) — nothing to sync against yet
+        pytest.skip("no parseable bench captures")
     expected = mod.build_table(runs)
     with open(osp.join(ROOT, "README.md")) as f:
         text = f.read()
