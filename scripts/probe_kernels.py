@@ -19,10 +19,23 @@ moved to flags._PROVEN only after its probe prints PASS on hardware.
 """
 
 import functools
+import os.path as osp
 import sys
+
+sys.path.insert(0, osp.dirname(osp.dirname(osp.abspath(__file__))))
 
 import numpy as np
 import jax
+
+if "--cpu" in sys.argv:
+    # Shape/wiring validation without touching the chip. NOTE: env
+    # JAX_PLATFORMS=cpu is NOT enough — the image's sitecustomize pins the
+    # axon platform before any script code runs (this bit an earlier
+    # session: a "CPU validation" silently executed on — and wedged — the
+    # real chip). Only the config.update below actually switches.
+    sys.argv.remove("--cpu")
+    jax.config.update("jax_platforms", "cpu")
+
 import jax.numpy as jnp
 
 jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
@@ -96,7 +109,8 @@ def probe_gse_skip():
     b_a = jnp.asarray(rng.normal(size=(c,)) * 0.1, jnp.float32)
     args = (pts, u, w_d, b_d, w_a, b_a, c, 0.2, 15.0)
     nv = jnp.asarray(70, jnp.int32)
-    got = jax.jit(lambda *a: gse_embedding_full(*a, n_valid=nv))(*args)
+    got = jax.jit(lambda p, uu: gse_embedding_full(
+        p, uu, w_d, b_d, w_a, b_a, c, 0.2, 15.0, n_valid=nv))(pts, u)
     want = gse_embedding_full(*args, n_valid=np.int32(70), interpret=True)
     return _report("gse_skip", got, want)
 
@@ -169,7 +183,11 @@ def main():
     rc = 0
     for name in names:
         print(f"probing {name} ...", flush=True)
-        rc |= PROBES[name]()
+        try:
+            rc |= PROBES[name]()
+        except Exception as exc:
+            print(f"FAIL {name} {type(exc).__name__}: {exc}")
+            rc |= 1
     sys.exit(rc)
 
 
