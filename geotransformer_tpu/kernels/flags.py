@@ -29,7 +29,14 @@ import os
 # Mechanisms proven on the real chip (bounded probe completed + parity
 # checked on hardware). Move a name here — with the probe evidence cited in
 # the commit — to enable it by default.
-_PROVEN = frozenset()
+#   gse_skip         PASS 2026-08-20 12:25 max|diff|=3.9e-3 (plain index
+#                    maps, pl.when compute skip only)
+#   kpconv_tile_skip PASS 2026-08-20 12:27 max|diff|=0 (prefetched
+#                    tile-representative block-index array)
+# pair_scores / fused_attention stay off: their arithmetic clamped index
+# maps are the remaining suspect for both on-chip wedges (11:16 full
+# forward, 11:53 minimal clamp probe on a free chip).
+_PROVEN = frozenset({"gse_skip", "kpconv_tile_skip"})
 
 _ALL = frozenset(
     {"gse_skip", "kpconv_tile_skip", "pair_scores", "fused_attention"}
